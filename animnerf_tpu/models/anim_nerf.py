@@ -1,0 +1,197 @@
+"""AnimNeRF scene model — functional orchestration of warp + canonical NeRF.
+
+Re-design of /root/reference/models/anim_nerf.py:41-307. The reference is a
+stateful nn.Module (set_body_model / set_latent_code mutate attributes); here
+the scene model is a *static* configuration object plus pure functions:
+
+    scene = AnimNeRFModel(cfg)
+    params = scene.init(rng)                       # flax param pytrees
+    ctx    = prepare_frame(body_model, p, p_tmpl)  # explicit geometry pytree
+    rgb, sigma = scene.apply_points(params, ctx, xyz, viewdir, use_fine=...)
+
+Outside-shell handling: sigma is filled with -1e5 where the blended kNN
+distance exceeds dis_threshold (reference :305). The reference's
+query_inside boolean-gather path (:245-288) is shape-dynamic and therefore
+implemented as masked dense compute — identical results, XLA-compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from animnerf_tpu.models.nerf import DeRFMLP, NeRFMLP, rotation_from_ortho6d
+from animnerf_tpu.models.warp import FrameContext, unpose
+
+SIGMA_OUTSIDE = -1e5
+
+
+@dataclasses.dataclass(frozen=True)
+class AnimNeRFConfig:
+    """Static scene-model configuration (mirrors the reference ctor args,
+    anim_nerf.py:42-60, so YAML configs map 1:1)."""
+
+    freqs_xyz: int = 10
+    freqs_dir: int = 4
+    use_view: bool = False
+    use_unpose: bool = True
+    unpose_view: bool = False
+    k_neigh: int = 4
+    use_deformation: bool = False
+    deformation_dim: int = 0
+    apperance_dim: int = 0
+    use_fine: bool = True
+    share_fine: bool = False
+    dis_threshold: float = 0.2
+    query_inside: bool = False
+    weight_std: float = 0.1
+    compute_dtype: str = "float32"  # 'bfloat16' for MXU-native training
+
+
+class AnimNeRFModel:
+    """Bundles the flax modules + pure apply functions."""
+
+    def __init__(self, cfg: AnimNeRFConfig):
+        self.cfg = cfg
+
+    @cached_property
+    def nerf(self) -> NeRFMLP:
+        c = self.cfg
+        return NeRFMLP(
+            freqs_xyz=c.freqs_xyz, freqs_dir=c.freqs_dir, use_view=c.use_view,
+            deformation_dim=c.deformation_dim, apperance_dim=c.apperance_dim,
+            compute_dtype=jnp.dtype(c.compute_dtype),
+        )
+
+    @cached_property
+    def nerf_fine(self) -> Optional[NeRFMLP]:
+        c = self.cfg
+        if not c.use_fine:
+            return None
+        if c.share_fine:
+            return self.nerf
+        return NeRFMLP(
+            freqs_xyz=c.freqs_xyz, freqs_dir=c.freqs_dir, use_view=c.use_view,
+            deformation_dim=c.deformation_dim, apperance_dim=c.apperance_dim,
+            compute_dtype=jnp.dtype(c.compute_dtype),
+        )
+
+    @cached_property
+    def derf(self) -> Optional[DeRFMLP]:
+        c = self.cfg
+        if not c.use_deformation:
+            return None
+        return DeRFMLP(freqs_xyz=c.freqs_xyz, deformation_dim=c.deformation_dim,
+                       out_channels=9, compute_dtype=jnp.dtype(c.compute_dtype))
+
+    # ---------------------------------------------------------- params
+
+    def init(self, rng: jax.Array) -> dict:
+        c = self.cfg
+        k_nerf, k_fine, k_derf = jax.random.split(rng, 3)
+        dummy_xyz = jnp.zeros((1, 3))
+        dummy_dir = jnp.zeros((1, 3)) if c.use_view else None
+        dummy_def = jnp.zeros((1, c.deformation_dim)) if c.deformation_dim else None
+        dummy_app = jnp.zeros((1, c.apperance_dim)) if c.apperance_dim else None
+        params = {
+            "nerf": self.nerf.init(k_nerf, dummy_xyz, dummy_dir, dummy_def,
+                                   dummy_app)
+        }
+        if c.use_fine and not c.share_fine:
+            params["nerf_fine"] = self.nerf_fine.init(
+                k_fine, dummy_xyz, dummy_dir, dummy_def, dummy_app)
+        if c.use_deformation:
+            params["derf"] = self.derf.init(k_derf, dummy_xyz, dummy_def)
+        return params
+
+    def _field(self, use_fine: bool):
+        if use_fine and self.cfg.use_fine:
+            return self.nerf_fine, ("nerf" if self.cfg.share_fine else "nerf_fine")
+        return self.nerf, "nerf"
+
+    # ---------------------------------------------------------- queries
+
+    def _expand_code(self, code, n):
+        if code is None:
+            return None
+        return jnp.broadcast_to(code[:, None, :], (code.shape[0], n, code.shape[-1]))
+
+    def query_canonical(self, params: dict, xyz: jax.Array,
+                        viewdir: Optional[jax.Array] = None,
+                        use_fine: bool = False,
+                        deformation_code: Optional[jax.Array] = None,
+                        apperance_code: Optional[jax.Array] = None):
+        """(B, N, 3) canonical points -> (rgb (B,N,3), sigma (B,N,1))."""
+        module, key = self._field(use_fine)
+        n = xyz.shape[1]
+        return module.apply(
+            params[key], xyz, viewdir,
+            self._expand_code(deformation_code, n),
+            self._expand_code(apperance_code, n),
+        )
+
+    def query_sigma(self, params: dict, xyz: jax.Array, use_fine: bool = False,
+                    deformation_code: Optional[jax.Array] = None):
+        module, key = self._field(use_fine)
+        return module.apply(params[key], xyz,
+                            self._expand_code(deformation_code, xyz.shape[1]),
+                            method=NeRFMLP.get_sigma)
+
+    def query_normal(self, params: dict, xyz: jax.Array, use_fine: bool = False,
+                     deformation_code: Optional[jax.Array] = None,
+                     delta: float = 0.02):
+        """d(alpha)/d(xyz) of the canonical density (reference
+        nerf.py:177-190); differentiable itself for the smoothness loss."""
+
+        def alpha_sum(pts):
+            sigma = self.query_sigma(params, pts, use_fine, deformation_code)
+            return jnp.sum(1.0 - jnp.exp(-delta * jax.nn.relu(sigma)))
+
+        return jax.grad(alpha_sum)(xyz)
+
+    def apply_deformation(self, params: dict, xyz: jax.Array,
+                          valid: Optional[jax.Array],
+                          deformation_code: Optional[jax.Array]):
+        """DeRF residual rigid motion (reference anim_nerf.py:194-209)."""
+        out = self.derf.apply(params["derf"], xyz,
+                              self._expand_code(deformation_code, xyz.shape[1]))
+        rot = rotation_from_ortho6d(out[..., :6])
+        trans = out[..., 6:9]
+        if valid is not None:
+            eye = jnp.eye(3, dtype=rot.dtype)
+            rot = valid[..., None] * rot + (1.0 - valid[..., None]) * eye
+        return jnp.einsum("bnmk,bnk->bnm", rot, xyz) + trans
+
+    def apply_points(self, params: dict, ctx: Optional[FrameContext],
+                     xyz: jax.Array, viewdir: Optional[jax.Array] = None,
+                     use_fine: bool = False,
+                     deformation_code: Optional[jax.Array] = None,
+                     apperance_code: Optional[jax.Array] = None):
+        """Full observed-space point query: unpose -> (DeRF) -> canonical MLP
+        -> outside-shell sigma fill (reference anim_nerf.py:290-307)."""
+        c = self.cfg
+        if c.use_unpose:
+            assert ctx is not None, "use_unpose requires a FrameContext"
+            xyz, viewdir, valid = unpose(
+                ctx, xyz, viewdir, k=c.k_neigh, dis_threshold=c.dis_threshold,
+                weight_std=c.weight_std, unpose_view=c.unpose_view,
+            )
+        else:
+            valid = None
+
+        if c.use_deformation:
+            xyz = self.apply_deformation(params, xyz, valid, deformation_code)
+
+        rgb, sigma = self.query_canonical(
+            params, xyz, viewdir, use_fine, deformation_code, apperance_code)
+
+        if valid is not None:
+            sigma = jnp.where(valid < 1.0, SIGMA_OUTSIDE, sigma)
+            if c.query_inside:
+                # masked-dense equivalent of the reference's boolean gather
+                rgb = jnp.where(valid < 1.0, 0.0, rgb)
+        return rgb, sigma

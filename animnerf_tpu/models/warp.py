@@ -1,0 +1,215 @@
+"""Observation->canonical warping (the heart of Anim-NeRF).
+
+Pure-functional re-design of the reference's stateful warp pipeline
+(/root/reference/models/anim_nerf.py:108-192). All per-frame geometry is
+computed once into an explicit ``FrameContext`` pytree:
+
+  set_body_model (:108-126)            -> prepare_frame
+  convert_to_body_model_space (:128-145)-> rebase_to_root (rays + geometry)
+  clac_ober2cano_transform (:147-151)  -> ober2cano transform
+  get_neighbs + unpose (:153-192)      -> unpose(ctx, xyz)
+
+Numerical notes kept deliberately bit-faithful:
+  * near/far tightened to cam_dist -/+ 1.0 (:134-136)
+  * the blendshape deltas are injected into the *translation column* of the
+    inverted vertex transform before left-multiplying the template
+    transform (:148-151)
+  * neighbour weights are exp(-dist), gated by a hard (>0.9) LBS-weight
+    similarity confidence with std 0.1 (:165-171)
+  * the reference's misspelled `self.joints_transfrom` assignment (:143)
+    makes the joint-transform rebase a no-op; we simply don't rebase it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from animnerf_tpu.ops.knn import knn
+from animnerf_tpu.smpl.body_model import BodyModel, BodyModelOutput, forward as body_forward
+
+
+def affine_inverse(T: jax.Array) -> jax.Array:
+    """Closed-form inverse of (..., 4, 4) affine transforms.
+
+    LBS-blended vertex transforms are affine but not rigid, so we invert the
+    3x3 block by adjugate/determinant (VPU-friendly; no LU like
+    torch.inverse needs).
+    """
+    M = T[..., :3, :3]
+    t = T[..., :3, 3]
+    # adjugate of M
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / det
+    Minv = jnp.stack(
+        [
+            jnp.stack([A, B, C], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    ) * inv_det[..., None, None]
+    tinv = -jnp.einsum("...mn,...n->...m", Minv, t,
+                       precision=jax.lax.Precision.HIGHEST)
+    top = jnp.concatenate([Minv, tinv[..., :, None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def transform_points(T: jax.Array, p: jax.Array, directional: bool = False) -> jax.Array:
+    """Apply (..., 4, 4) affine transforms to (..., 3) points/directions."""
+    out = jnp.einsum("...mn,...n->...m", T[..., :3, :3], p,
+                     precision=jax.lax.Precision.HIGHEST)
+    if not directional:
+        out = out + T[..., :3, 3]
+    return out
+
+
+@struct.dataclass
+class FrameContext:
+    """Everything the renderer needs about one (batch of) observed frame(s),
+    already rebased into the SMPL root frame."""
+
+    verts: jax.Array            # (B, V, 3) observed verts, root frame
+    joints: jax.Array           # (B, J, 3) observed joints, root frame
+    ober2cano: jax.Array        # (B, V, 4, 4) per-vertex obs->canonical
+    root_inv: jax.Array         # (B, 4, 4) world->root transform
+    verts_template: jax.Array   # (B, V, 3) canonical-space template verts
+    lbs_weights: jax.Array      # (V, J)
+
+
+def prepare_frame(
+    model: BodyModel,
+    params: dict,
+    params_template: dict,
+    num_lbs_joints: Optional[int] = None,
+) -> FrameContext:
+    """Run the body model for observed+template params and derive the warp.
+
+    Equivalent of set_body_model + the geometry half of
+    convert_to_body_model_space + clac_ober2cano_transform.
+    """
+    J = num_lbs_joints or model.num_joints
+
+    obs: BodyModelOutput = body_forward(model, **params)
+    tmpl: BodyModelOutput = body_forward(model, **params_template)
+
+    root = obs.joints_transform[:, 0]          # (B, 4, 4) pelvis transform
+    root_inv = affine_inverse(root)
+
+    verts = transform_points(root_inv[:, None], obs.vertices)
+    joints = transform_points(root_inv[:, None], obs.joints[:, :J])
+    verts_transform = jnp.matmul(root_inv[:, None], obs.vertices_transform,
+                                 precision=jax.lax.Precision.HIGHEST)
+
+    # obs->canonical: template vertex transform composed with the inverse of
+    # the (root-frame) observed vertex transform, blendshape deltas folded
+    # into the translation column (reference anim_nerf.py:147-151).
+    inv = affine_inverse(verts_transform)
+    delta = (tmpl.shape_offsets - obs.shape_offsets) + (
+        tmpl.pose_offsets - obs.pose_offsets
+    )
+    inv = inv.at[..., :3, 3].add(delta)
+    ober2cano = jnp.matmul(tmpl.vertices_transform, inv,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    return FrameContext(
+        verts=verts,
+        joints=joints,
+        ober2cano=ober2cano,
+        root_inv=root_inv,
+        verts_template=tmpl.vertices,
+        lbs_weights=model.lbs_weights,
+    )
+
+
+def rays_to_root_frame(ctx: FrameContext, rays: jax.Array) -> jax.Array:
+    """Rebase (B, R, 8) rays into the root frame, tightening near/far to the
+    +/-1m shell around the body (reference anim_nerf.py:128-137)."""
+    Tinv = ctx.root_inv[:, None]
+    o = transform_points(Tinv, rays[..., 0:3])
+    d = transform_points(Tinv, rays[..., 3:6], directional=True)
+    cam_dist = jnp.linalg.norm(o, axis=-1, keepdims=True)
+    near = jnp.maximum(rays[..., 6:7], cam_dist - 1.0)
+    far = jnp.minimum(rays[..., 7:8], cam_dist + 1.0)
+    return jnp.concatenate([o, d, near, far], axis=-1)
+
+
+def blend_neighbour_transforms(
+    ctx: FrameContext,
+    xyz: jax.Array,
+    k: int = 4,
+    weight_std: float = 0.1,
+    conf_gate: float = 0.9,
+) -> tuple[jax.Array, jax.Array]:
+    """kNN against the observed verts; confidence-gated exp(-d) blending of
+    the per-vertex obs->canonical transforms (reference anim_nerf.py:153-178).
+
+    Returns:
+      blended_dist: (B, N, 1)
+      blended_transform: (B, N, 4, 4)
+    """
+    B, N = xyz.shape[:2]
+    V, J = ctx.lbs_weights.shape
+
+    dists, idx = knn(xyz, ctx.verts, k=k)  # (B, N, k) each
+    dists = jax.lax.stop_gradient(dists)
+
+    # (B, N, k, J) neighbour skinning weights
+    neigh_w = ctx.lbs_weights[idx]
+    conf = jnp.exp(
+        -jnp.sum(jnp.abs(neigh_w - neigh_w[..., 0:1, :]), axis=-1)
+        / (2.0 * weight_std**2)
+    )
+    gate = (conf > conf_gate).astype(xyz.dtype)
+    w = jnp.exp(-dists) * gate
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+
+    # Gather + blend the 4x4 transforms (flattened to 16 for one gather).
+    flat = ctx.ober2cano.reshape(B, V, 16)
+    neigh_T = jnp.take_along_axis(
+        flat, idx.reshape(B, N * k, 1), axis=1
+    ).reshape(B, N, k, 4, 4)
+    blended_T = jnp.sum(w[..., None, None] * neigh_T, axis=2)
+    blended_dist = jnp.sum(w * dists, axis=-1, keepdims=True)
+    return blended_dist, blended_T
+
+
+def unpose(
+    ctx: FrameContext,
+    xyz: jax.Array,
+    viewdir: Optional[jax.Array] = None,
+    k: int = 4,
+    dis_threshold: float = 0.2,
+    weight_std: float = 0.1,
+    unpose_view: bool = False,
+) -> tuple[jax.Array, Optional[jax.Array], jax.Array]:
+    """Warp observed-space points into canonical space.
+
+    Returns (xyz_canonical, viewdir, valid) with valid in {0.,1.}
+    (reference anim_nerf.py:180-192).
+    """
+    dist, T = blend_neighbour_transforms(ctx, xyz, k=k, weight_std=weight_std)
+    valid = (dist < dis_threshold).astype(xyz.dtype)
+    xyz_cano = transform_points(T, xyz)
+    if unpose_view and viewdir is not None:
+        # NB: the reference warps the view direction with pad_ones=True,
+        # i.e. *including* the translation (anim_nerf.py:190's
+        # batch_transform default) — replicated deliberately.
+        viewdir = transform_points(T, viewdir, directional=False)
+    return xyz_cano, viewdir, valid

@@ -1,0 +1,216 @@
+"""Volume rendering: stratified + importance sampling and alpha compositing.
+
+Functional re-design of /root/reference/models/volume_rendering.py:7-232.
+Semantics replicated exactly (needed for checkpoint-level parity):
+
+  * coarse z-steps are linspace(0, 1 - 1/K, K) — NOT inclusive of 1
+    (:39-41); `lindisp=True` means linear in *depth* (the reference's
+    naming is inverted vs its comment, :43-46)
+  * stratified jitter scales with `perturb` (:48-54)
+  * fine samples invert the CDF of the *interior* coarse weights
+    (weights[..., 1:-1]) over coarse mid-bins, det when perturb == 0,
+    merged with the coarse z and sorted (:195-207, :59-97)
+  * compositing adds N(0,1)*noise_std to sigma when perturb > 0 (:128-129);
+    alpha = 1 - exp(-delta * relu(sigma)); exclusive cumprod transmittance
+    via a shifted-ones concat; last delta = 1e10; white background adds
+    (1 - sum w) to rgb and (1 - sum w) * far to depth (:131-153)
+
+Randomness is explicit: every sampling fn takes a PRNG key.
+
+TPU notes: there is no chunk loop — callers render the whole (possibly
+sharded) ray batch in one fused program; the per-ray tensors here are
+(B, R, K) shaped and XLA fuses the compositing chain into the MLP epilogue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererConfig:
+    n_coarse: int = 64
+    n_fine: int = 32
+    n_fine_depth: int = 0
+    share_fine: bool = False
+    noise_std: float = 1.0
+    depth_std: float = 0.02
+    white_bkgd: bool = True
+    lindisp: bool = True  # True => linear in depth (reference quirk)
+
+
+def sample_coarse(cfg: RendererConfig, rays: jax.Array, perturb: float,
+                  key: Optional[jax.Array]) -> jax.Array:
+    """Stratified coarse depths. rays: (B, R, 8) -> (B, R, Kc)."""
+    near, far = rays[..., 6:7], rays[..., 7:8]
+    K = cfg.n_coarse
+    z_steps = jnp.linspace(0.0, 1.0 - 1.0 / K, K, dtype=rays.dtype)
+    z_steps = jnp.broadcast_to(z_steps, rays.shape[:-1] + (K,))
+
+    if cfg.lindisp:  # linear in depth (see module docstring)
+        z = near * (1.0 - z_steps) + far * z_steps
+    else:  # linear in disparity
+        z = 1.0 / (1.0 / near * (1.0 - z_steps) + 1.0 / far * z_steps)
+
+    if perturb > 0 and key is not None:
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+        u = perturb * jax.random.uniform(key, z.shape, dtype=z.dtype)
+        z = lower + (upper - lower) * u
+    return z
+
+
+def sample_fine(cfg: RendererConfig, bins: jax.Array, weights: jax.Array,
+                det: bool, key: Optional[jax.Array],
+                eps: float = 1e-5) -> jax.Array:
+    """Importance sampling by CDF inversion.
+
+    bins: (B, R, Kc-1) coarse mid depths; weights: (B, R, Kc-2) interior
+    coarse weights. Returns (B, R, Kf).
+    """
+    Kf = cfg.n_fine
+    w = jax.lax.stop_gradient(weights) + eps
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (B,R,Kc-1)
+
+    if det or key is None:
+        u = jnp.linspace(0.0, 1.0, Kf, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, bins.shape[:-1] + (Kf,))
+    else:
+        u = jax.random.uniform(key, bins.shape[:-1] + (Kf,), dtype=bins.dtype)
+
+    inds = jnp.searchsorted(cdf, u, side="right")  # vmapped over leading dims
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cfg.n_coarse - 2)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_lo = jnp.take_along_axis(bins, below, axis=-1)
+    bin_hi = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < eps, 1.0, denom)
+    t = (u - cdf_lo) / denom
+    return bin_lo + t * (bin_hi - bin_lo)
+
+
+def sample_fine_depth(cfg: RendererConfig, rays: jax.Array, depth: jax.Array,
+                      key: jax.Array) -> jax.Array:
+    """Gaussian samples around a given depth, clamped to [near, far]
+    (reference :99-111)."""
+    z = jnp.repeat(depth, cfg.n_fine_depth, axis=-1)
+    z = z + jax.random.normal(key, z.shape, dtype=z.dtype) * cfg.depth_std
+    near, far = rays[..., 6:7], rays[..., 7:8]
+    return jnp.clip(z, near, far)
+
+
+def composite(cfg: RendererConfig, rgbs: jax.Array, sigmas: jax.Array,
+              rays: jax.Array, z_samp: jax.Array, perturb: float,
+              key: Optional[jax.Array], far_inf: bool = True):
+    """Alpha compositing. rgbs (B,R,K,3), sigmas (B,R,K) -> dict of images.
+
+    Returns (weights (B,R,K), rgb (B,R,3), depth (B,R,1), alpha_sum (B,R,1)).
+    """
+    if cfg.noise_std > 0 and perturb > 0 and key is not None:
+        sigmas = sigmas + jax.random.normal(key, sigmas.shape,
+                                            dtype=sigmas.dtype) * cfg.noise_std
+
+    deltas = z_samp[..., 1:] - z_samp[..., :-1]
+    if far_inf:
+        delta_last = jnp.full_like(deltas[..., :1], 1e10)
+    else:
+        delta_last = rays[..., 7:8] - z_samp[..., -1:]
+    deltas = jnp.concatenate([deltas, delta_last], axis=-1)
+
+    alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas))
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-10], axis=-1)
+    transmittance = jnp.cumprod(shifted, axis=-1)[..., :-1]
+    weights = alphas * transmittance
+    weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
+
+    rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    depth = jnp.sum(weights * z_samp, axis=-1, keepdims=True)
+
+    if cfg.white_bkgd:
+        depth = depth + (1.0 - weights_sum) * rays[..., 7:8]
+        rgb = rgb + (1.0 - weights_sum)
+
+    return weights, rgb, depth, weights_sum
+
+
+PointFn = Callable[..., tuple[jax.Array, jax.Array]]
+# point_fn(xyz (B, R*K, 3), viewdir (B, R*K, 3), use_fine: bool)
+#   -> (rgb (B, R*K, 3), sigma (B, R*K, 1))
+
+
+def _eval_points(point_fn: PointFn, rays: jax.Array, z_samp: jax.Array,
+                 use_fine: bool):
+    B, R, K = z_samp.shape
+    xyz = rays[..., None, 0:3] + z_samp[..., None] * rays[..., None, 3:6]
+    viewdir = jnp.broadcast_to(rays[..., None, 3:6], (B, R, K, 3))
+    rgb, sigma = point_fn(xyz.reshape(B, R * K, 3),
+                          viewdir.reshape(B, R * K, 3), use_fine)
+    return rgb.reshape(B, R, K, 3), sigma.reshape(B, R, K)
+
+
+def render_rays(cfg: RendererConfig, point_fn: PointFn, rays: jax.Array,
+                perturb: float = 0.0,
+                key: Optional[jax.Array] = None) -> dict[str, jax.Array]:
+    """Full coarse(+fine) rendering of a ray batch (reference :163-232).
+
+    Args:
+      point_fn: scene-model query (see PointFn) — a closure over params+ctx.
+      rays: (B, R, 8).
+      perturb: stratified-jitter / noise scale (0 for eval).
+      key: PRNG key (required when perturb > 0).
+    Returns:
+      {'rgbs','alphas','depths'} (+ '_fine' variants when the fine field is
+      separate; when share_fine the fine results replace the coarse ones).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_coarse, k_fine, k_noise_c, k_noise_f, k_depth = jax.random.split(key, 5)
+
+    z_coarse = sample_coarse(cfg, rays, perturb, k_coarse)
+
+    def run_coarse():
+        rgbs, sigmas = _eval_points(point_fn, rays, z_coarse, use_fine=False)
+        return composite(cfg, rgbs, sigmas, rays, z_coarse, perturb, k_noise_c)
+
+    if cfg.n_fine > 0 and cfg.share_fine:
+        weights, rgb_c, depth_c, alpha_c = jax.tree.map(
+            jax.lax.stop_gradient, run_coarse())
+    else:
+        weights, rgb_c, depth_c, alpha_c = run_coarse()
+
+    out = {"rgbs": rgb_c, "alphas": alpha_c, "depths": depth_c}
+
+    if cfg.n_fine > 0 or cfg.n_fine_depth > 0:
+        z_parts = [z_coarse]
+        if cfg.n_fine > 0:
+            mids = 0.5 * (z_coarse[..., :-1] + z_coarse[..., 1:])
+            z_fine = sample_fine(cfg, mids, weights[..., 1:-1],
+                                 det=(perturb == 0), key=k_fine)
+            z_parts.append(jax.lax.stop_gradient(z_fine))
+        if cfg.n_fine_depth > 0:
+            z_parts.append(jax.lax.stop_gradient(
+                sample_fine_depth(cfg, rays, depth_c, k_depth)))
+        z_all = jnp.sort(jnp.concatenate(z_parts, axis=-1), axis=-1)
+
+        rgbs, sigmas = _eval_points(point_fn, rays, z_all, use_fine=True)
+        _, rgb_f, depth_f, alpha_f = composite(
+            cfg, rgbs, sigmas, rays, z_all, perturb, k_noise_f)
+
+        if cfg.share_fine:
+            out = {"rgbs": rgb_f, "alphas": alpha_f, "depths": depth_f}
+        else:
+            out.update({"rgbs_fine": rgb_f, "alphas_fine": alpha_f,
+                        "depths_fine": depth_f})
+    return out

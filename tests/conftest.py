@@ -1,0 +1,23 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware via
+xla_force_host_platform_device_count (SURVEY.md §4). Must run before the
+first jax import anywhere in the test process.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
