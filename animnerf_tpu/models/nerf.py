@@ -38,6 +38,17 @@ class NeRFMLP(nn.Module):
     skips: Sequence[int] = (4,)
     compute_dtype: jnp.dtype = jnp.float32
 
+    def setup(self):
+        # layers live in setup() so that get_sigma can be invoked standalone
+        # via apply(..., method=NeRFMLP.get_sigma)
+        for i in range(self.depth):
+            setattr(self, f"xyz_{i}",
+                    nn.Dense(self.width, dtype=self.compute_dtype))
+        self.sigma = nn.Dense(1, dtype=jnp.float32)
+        self.xyz_final = nn.Dense(self.width, dtype=self.compute_dtype)
+        self.dir_0 = nn.Dense(self.width // 2, dtype=self.compute_dtype)
+        self.rgb = nn.Dense(3, dtype=jnp.float32)
+
     def _trunk(self, xyz, deformation_code):
         """Shared xyz encoder; returns (sigma, trunk_features)."""
         h = positional_encoding(xyz, self.freqs_xyz)
@@ -49,21 +60,15 @@ class NeRFMLP(nn.Module):
         for i in range(self.depth):
             if i in self.skips:
                 h = jnp.concatenate([encoded, h], axis=-1)
-            h = nn.Dense(self.width, dtype=self.compute_dtype,
-                         name=f"xyz_{i}")(h)
-            h = nn.relu(h)
+            h = nn.relu(getattr(self, f"xyz_{i}")(h))
 
-        sigma = nn.Dense(1, dtype=jnp.float32, name="sigma")(h)
-        return sigma, h
+        return self.sigma(h), h
 
-    @nn.compact
     def __call__(self, xyz, viewdir=None, deformation_code=None,
                  apperance_code=None):
         sigma, h = self._trunk(xyz, deformation_code)
 
-        feat = nn.Dense(self.width, dtype=self.compute_dtype,
-                        name="xyz_final")(h)
-        dir_in = feat
+        dir_in = self.xyz_final(h)
         if self.use_view:
             dir_emb = positional_encoding(viewdir, self.freqs_dir)
             dir_in = jnp.concatenate(
@@ -72,10 +77,8 @@ class NeRFMLP(nn.Module):
             dir_in = jnp.concatenate(
                 [dir_in, apperance_code.astype(self.compute_dtype)], axis=-1)
 
-        d = nn.Dense(self.width // 2, dtype=self.compute_dtype,
-                     name="dir_0")(dir_in)
-        d = nn.relu(d)
-        rgb = nn.sigmoid(nn.Dense(3, dtype=jnp.float32, name="rgb")(d))
+        d = nn.relu(self.dir_0(dir_in))
+        rgb = nn.sigmoid(self.rgb(d))
         return rgb, sigma
 
     def get_sigma(self, xyz, deformation_code=None):

@@ -85,7 +85,11 @@ def sample_fine(cfg: RendererConfig, bins: jax.Array, weights: jax.Array,
     else:
         u = jax.random.uniform(key, bins.shape[:-1] + (Kf,), dtype=bins.dtype)
 
-    inds = jnp.searchsorted(cdf, u, side="right")  # vmapped over leading dims
+    # batched searchsorted: flatten ray dims and vmap the 1-D primitive
+    lead = cdf.shape[:-1]
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(
+        cdf.reshape((-1, cdf.shape[-1])), u.reshape((-1, Kf))
+    ).reshape(lead + (Kf,))
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cfg.n_coarse - 2)
 

@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+# Persistent compilation cache: this box is single-core and XLA compiles
+# dominate test wall-clock; cache across sessions.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,207 @@
+"""Tests for the kNN op and the observation->canonical warp."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from animnerf_tpu.data.synthetic import make_body_model, make_rig, random_pose_params
+from animnerf_tpu.models.warp import (
+    affine_inverse,
+    blend_neighbour_transforms,
+    prepare_frame,
+    rays_to_root_frame,
+    transform_points,
+    unpose,
+)
+from animnerf_tpu.ops.knn import knn
+
+
+def test_knn_exact_vs_numpy():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(2, 100, 3)).astype(np.float32)
+    verts = rng.normal(size=(2, 50, 3)).astype(np.float32)
+    d, i = knn(jnp.asarray(pts), jnp.asarray(verts), k=4)
+    # numpy oracle
+    diff = pts[:, :, None] - verts[:, None]
+    dist = np.sqrt((diff**2).sum(-1))
+    idx_ref = np.argsort(dist, axis=-1)[..., :4]
+    d_ref = np.take_along_axis(dist, idx_ref, axis=-1)
+    np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-4)
+    # indices can differ only on exact ties; distances must agree
+    d_mine_ref = np.take_along_axis(dist, np.asarray(i), axis=-1)
+    np.testing.assert_allclose(d_mine_ref, d_ref, atol=1e-4)
+
+
+def test_knn_tiled_matches_untiled():
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.normal(size=(1, 300, 3)).astype(np.float32))
+    verts = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
+    d1, i1 = knn(pts, verts, k=4, tile=8192)
+    d2, i2 = knn(pts, verts, k=4, tile=128)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_affine_inverse():
+    rng = np.random.default_rng(2)
+    T = np.broadcast_to(np.eye(4, dtype=np.float32), (5, 4, 4)).copy()
+    T[:, :3, :3] += rng.normal(scale=0.2, size=(5, 3, 3)).astype(np.float32)
+    T[:, :3, 3] = rng.normal(size=(5, 3)).astype(np.float32)
+    Tinv = np.asarray(affine_inverse(jnp.asarray(T)))
+    prod = np.einsum("bij,bjk->bik", T.astype(np.float64), Tinv.astype(np.float64))
+    np.testing.assert_allclose(prod, np.broadcast_to(np.eye(4), (5, 4, 4)),
+                               atol=1e-4)
+
+
+def _frame_setup(seed=0, V=256, J=24):
+    model = make_body_model(num_verts=V, num_joints=J, seed=seed)
+    params = {k: jnp.asarray(v) for k, v in
+              random_pose_params(J, batch=2, seed=seed).items()}
+    tmpl_np = random_pose_params(J, batch=2, seed=seed + 100, scale=0.05)
+    tmpl_np["transl"][:] = 0.0
+    template = {k: jnp.asarray(v) for k, v in tmpl_np.items()}
+    return model, params, template
+
+
+def test_prepare_frame_root_inverse():
+    """root_inv must invert the observed pelvis transform, and the rebase
+    must be pose-invariant: the root-frame pelvis equals its rest-pose
+    location regardless of global orient / transl."""
+    model, params, template = _frame_setup()
+    ctx = prepare_frame(model, params, template)
+
+    import animnerf_tpu.smpl.body_model as bm
+
+    obs = bm.forward(model, **params)
+    prod = np.einsum("bij,bjk->bik",
+                     np.asarray(ctx.root_inv, np.float64),
+                     np.asarray(obs.joints_transform[:, 0], np.float64))
+    np.testing.assert_allclose(prod, np.broadcast_to(np.eye(4), prod.shape),
+                               atol=1e-4)
+
+    # same body, different global orient/transl -> same root-frame pelvis
+    params2 = dict(params)
+    params2["global_orient"] = params["global_orient"] + 0.7
+    params2["transl"] = params["transl"] + 3.0
+    ctx2 = prepare_frame(model, params2, template)
+    np.testing.assert_allclose(np.asarray(ctx.joints[:, 0]),
+                               np.asarray(ctx2.joints[:, 0]), atol=1e-3)
+
+
+def test_unpose_recovers_template_verts():
+    """A point exactly on an observed vertex must unpose to (approximately)
+    the corresponding template vertex — the defining property of the warp."""
+    model, params, template = _frame_setup(seed=3)
+    ctx = prepare_frame(model, params, template)
+    # query the observed vertices themselves
+    xyz = ctx.verts[:, ::17]  # subsample for speed
+    xyz_cano, _, valid = unpose(ctx, xyz, k=4, dis_threshold=0.2)
+    tmpl = np.asarray(ctx.verts_template[:, ::17])
+    got = np.asarray(xyz_cano)
+    v = np.asarray(valid)
+    assert v.mean() > 0.9  # on-surface points are valid
+    err = np.linalg.norm(got - tmpl, axis=-1)[v[..., 0] > 0]
+    # kNN blending over a synthetic rig is approximate; median error should
+    # be well under the 0.2 dis_threshold scale
+    assert np.median(err) < 0.05, f"median unpose err {np.median(err)}"
+
+
+def test_unpose_far_points_invalid():
+    model, params, template = _frame_setup(seed=4)
+    ctx = prepare_frame(model, params, template)
+    far = jnp.ones((2, 8, 3)) * 50.0
+    _, _, valid = unpose(ctx, far, dis_threshold=0.2)
+    np.testing.assert_allclose(np.asarray(valid), 0.0)
+
+
+def test_rays_root_frame_near_far_tightening():
+    model, params, template = _frame_setup(seed=5)
+    ctx = prepare_frame(model, params, template)
+    rng = np.random.default_rng(0)
+    o = rng.normal(scale=0.1, size=(2, 16, 3)).astype(np.float32) + np.array(
+        [0, 0, 4], dtype=np.float32)
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.full((2, 16, 1), 0.1, np.float32),
+                           np.full((2, 16, 1), 10.0, np.float32)], -1)
+    out = np.asarray(rays_to_root_frame(ctx, jnp.asarray(rays)))
+    near, far = out[..., 6], out[..., 7]
+    cam_dist = np.linalg.norm(out[..., :3], axis=-1)
+    np.testing.assert_allclose(near, np.maximum(0.1, cam_dist - 1.0), atol=1e-4)
+    np.testing.assert_allclose(far, np.minimum(10.0, cam_dist + 1.0), atol=1e-4)
+    # direction norms preserved under (near-)rigid root transform
+    np.testing.assert_allclose(np.linalg.norm(out[..., 3:6], axis=-1), 1.0,
+                               atol=1e-3)
+
+
+def _reference_available():
+    return os.path.exists("/root/reference/models/anim_nerf.py")
+
+
+@pytest.mark.skipif(not _reference_available(), reason="no reference repo")
+def test_warp_parity_vs_reference(tmp_path):
+    """End-to-end warp parity: our prepare_frame+unpose vs the reference's
+    set_body_model / convert_to_body_model_space / clac_ober2cano_transform /
+    unpose on an identical full-size synthetic SMPL (V=6890, J=24)."""
+    import torch
+
+    from animnerf_tpu.data.synthetic import make_rig
+    from animnerf_tpu.smpl.loader import save_model_data
+    import animnerf_tpu.smpl.body_model as bm
+
+    rig = make_rig(num_verts=6890, num_joints=24, seed=9)
+    pkl = tmp_path / "SMPL_NEUTRAL.pkl"
+    save_model_data(str(pkl), rig)
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.anim_nerf import AnimNeRF as RefAnimNeRF
+    finally:
+        sys.path.pop(0)
+
+    ref = RefAnimNeRF(model_path=str(pkl), model_type="smpl", gender="neutral",
+                      use_unpose=True, use_knn=False, use_fine=False)
+
+    params_np = random_pose_params(24, batch=1, seed=21)
+    tmpl_np = random_pose_params(24, batch=1, seed=22, scale=0.02)
+    tmpl_np["betas"] = params_np["betas"].copy()
+    tmpl_np["transl"][:] = 0.0
+
+    tp = {k: torch.from_numpy(v) for k, v in params_np.items()}
+    ttmpl = {k: torch.from_numpy(v) for k, v in tmpl_np.items()}
+    ref.set_body_model(tp, ttmpl)
+
+    rng = np.random.default_rng(5)
+    rays_np = np.zeros((1, 4, 8), dtype=np.float32)
+    rays_np[..., :3] = rng.normal(size=(1, 4, 3)) * 0.1 + [0, 0, 3]
+    rays_np[..., 3:6] = [0, 0, -1]
+    rays_np[..., 6] = 0.1
+    rays_np[..., 7] = 10.0
+    ref_rays = ref.convert_to_body_model_space(torch.from_numpy(rays_np))
+    ref.clac_ober2cano_transform()
+
+    # sample points near the (root-frame) body
+    verts_rf = ref.verts.detach().numpy()
+    pts = verts_rf[:, ::97] + rng.normal(scale=0.03,
+                                         size=verts_rf[:, ::97].shape).astype(np.float32)
+    with torch.no_grad():
+        ref_unposed, _, ref_valid = ref.unpose(torch.from_numpy(pts))
+
+    # ours
+    model = bm.create(str(pkl), "smpl", "neutral")
+    jparams = {k: jnp.asarray(v) for k, v in params_np.items()}
+    jtmpl = {k: jnp.asarray(v) for k, v in tmpl_np.items()}
+    ctx = prepare_frame(model, jparams, jtmpl)
+
+    np.testing.assert_allclose(np.asarray(ctx.verts), verts_rf, atol=2e-4)
+    our_rays = rays_to_root_frame(ctx, jnp.asarray(rays_np))
+    np.testing.assert_allclose(np.asarray(our_rays), ref_rays.numpy(), atol=2e-4)
+
+    xyz_cano, _, valid = unpose(ctx, jnp.asarray(pts), k=4, dis_threshold=0.2)
+    np.testing.assert_allclose(np.asarray(valid), ref_valid.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xyz_cano), ref_unposed.numpy(),
+                               atol=5e-4)
