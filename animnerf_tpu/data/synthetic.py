@@ -103,6 +103,140 @@ def make_body_model(num_verts: int = 256, num_joints: int = 24,
     )
 
 
+def write_synthetic_dataset(
+    root_dir: str,
+    num_frames: int = 4,
+    img_wh: tuple[int, int] = (64, 64),
+    num_verts: int = 512,
+    num_joints: int = 24,
+    seed: int = 0,
+    model_type: str = "smpl",
+    pose_scale: float = 0.15,
+) -> str:
+    """Write a complete synthetic dataset in the reference on-disk layout
+    (SURVEY.md §2.7): cam000/camera.pkl, cam000/images/*.png RGBA,
+    {model_type}s/*.pkl, {model_type}_template.pkl, plus the body-model pkl
+    at models/SMPL_NEUTRAL.pkl.
+
+    Images are crude splat renders of the posed body (enough to exercise the
+    full data+training pipeline and drive PSNR upward in smoke training).
+
+    Returns the path of the body-model pkl.
+    """
+    import os
+    import pickle
+
+    import cv2
+
+    from animnerf_tpu.ops.ray_utils import camera_to_c2w  # noqa: F401
+    from animnerf_tpu.smpl.loader import save_model_data
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root_dir, exist_ok=True)
+    img_dir = os.path.join(root_dir, "cam000", "images")
+    smpl_dir = os.path.join(root_dir, f"{model_type}s")
+    model_dir = os.path.join(root_dir, "models")
+    for d in (img_dir, smpl_dir, model_dir):
+        os.makedirs(d, exist_ok=True)
+
+    rig = make_rig(num_verts=num_verts, num_joints=num_joints, seed=seed)
+    model_path = os.path.join(model_dir, "SMPL_NEUTRAL.pkl")
+    save_model_data(model_path, rig)
+
+    W, H = img_wh
+    f = 1.2 * max(W, H)
+    cam = {
+        "R": np.eye(3),
+        "t": np.array([0.0, -0.2, 2.5]),  # body ~2.5m in front
+        "camera_f": np.array([f, f], np.float64),
+        "camera_c": np.array([W / 2.0, H / 2.0], np.float64),
+        "camera_k": np.zeros(5),
+        "height": H,
+        "width": W,
+    }
+    with open(os.path.join(root_dir, "cam000", "camera.pkl"), "wb") as fh:
+        pickle.dump(cam, fh)
+
+    # template: X-ish pose (identity here), zero transl
+    betas = rng.normal(scale=0.3, size=(1, 10)).astype(np.float32)
+    template = {
+        "betas": betas,
+        "global_orient": np.zeros((1, 3), np.float32),
+        "body_pose": np.zeros((1, 3 * (num_joints - 1)), np.float32),
+        "transl": np.zeros((1, 3), np.float32),
+    }
+
+    # fg/bg points + signed distances approximated via nearest-vertex
+    # distance minus a shell radius (prepare_template analogue).
+    from animnerf_tpu.smpl.lbs import lbs as lbs_fn
+    import jax.numpy as jnp
+
+    tmpl_out = lbs_fn(
+        jnp.asarray(template["betas"]),
+        jnp.concatenate([jnp.asarray(template["global_orient"]),
+                         jnp.asarray(template["body_pose"])], axis=1),
+        jnp.asarray(rig["v_template"]), jnp.asarray(rig["shapedirs"]),
+        jnp.asarray(rig["posedirs"]), jnp.asarray(rig["J_regressor"]),
+        rig["parents"], jnp.asarray(rig["lbs_weights"]))
+    tmpl_verts = np.asarray(tmpl_out.vertices[0])
+
+    pts = rng.uniform(-1.2, 1.2, size=(8192, 3)).astype(np.float32)
+    center = tmpl_verts.mean(0)
+    pts = pts + center
+    d2 = ((pts[:, None] - tmpl_verts[None]) ** 2).sum(-1)
+    nearest = np.sqrt(d2.min(1))
+    distances = (nearest - 0.06).astype(np.float32)  # inside shell < 0
+    template_pkl = dict(template, points=pts, distances=distances)
+    with open(os.path.join(root_dir, f"{model_type}_template.pkl"), "wb") as fh:
+        pickle.dump(template_pkl, fh)
+
+    # per-frame params + splat images
+    K = np.array([[cam["camera_f"][0], 0, cam["camera_c"][0]],
+                  [0, cam["camera_f"][1], cam["camera_c"][1]],
+                  [0, 0, 1.0]])
+    for i in range(num_frames):
+        frame_id = i + 1
+        params = {
+            "betas": betas,
+            "global_orient": rng.normal(scale=0.1, size=(1, 3)).astype(np.float32),
+            "body_pose": rng.normal(
+                scale=pose_scale, size=(1, 3 * (num_joints - 1))).astype(np.float32),
+            "transl": np.array([[0.0, 0.0, 0.0]], np.float32)
+            + rng.normal(scale=0.02, size=(1, 3)).astype(np.float32),
+        }
+        with open(os.path.join(smpl_dir, f"{frame_id:06d}.pkl"), "wb") as fh:
+            pickle.dump(params, fh)
+
+        out = lbs_fn(
+            jnp.asarray(params["betas"]),
+            jnp.concatenate([jnp.asarray(params["global_orient"]),
+                             jnp.asarray(params["body_pose"])], axis=1),
+            jnp.asarray(rig["v_template"]), jnp.asarray(rig["shapedirs"]),
+            jnp.asarray(rig["posedirs"]), jnp.asarray(rig["J_regressor"]),
+            rig["parents"], jnp.asarray(rig["lbs_weights"]))
+        verts = np.asarray(out.vertices[0]) + params["transl"][0]
+
+        # project with the reference camera convention: x_cam = R @ x + t,
+        # image y flipped (see ops/ray_utils.py docstring)
+        xc = verts @ np.asarray(cam["R"]).T + np.asarray(cam["t"])
+        uv = (xc / xc[:, 2:3]) @ K.T
+        img = np.zeros((H, W, 4), np.uint8)
+        order = np.argsort(-xc[:, 2])  # far first
+        for j in order:
+            u, v = int(round(uv[j, 0])), int(round(uv[j, 1]))
+            if 0 <= u < W and 0 <= v < H:
+                # colour encodes canonical position -> learnable signal
+                cpos = tmpl_verts[j]
+                col = (np.clip((cpos - center) * 2 + 0.5, 0, 1) * 255).astype(int)
+                cv2.circle(img, (u, v), 2,
+                           (int(col[0]), int(col[1]), int(col[2]), 255), -1)
+        # BGRA on disk (cv2 convention, matching the loader's BGRA2RGBA)
+        bgra = img[..., [2, 1, 0, 3]]
+        cv2.imwrite(os.path.join(img_dir, f"{frame_id:06d}.png"), bgra)
+
+    return model_path
+
+
 def random_pose_params(num_joints: int = 24, num_betas: int = 10,
                        batch: int = 1, seed: int = 0, scale: float = 0.3) -> dict:
     rng = np.random.default_rng(seed)

@@ -5,18 +5,19 @@ Replaces the reference's external KNN_CUDA extension
 TPU-native design:
 
   * the (points x verts) squared-distance matrix is expressed through a
-    single (N,3)@(3,V) matmul — `|p-v|^2 = |p|^2 - 2 p.v + |v|^2` — so the
-    heavy term rides the MXU;
+    batched einsum — `|p-v|^2 = |p|^2 - 2 p.v + |v|^2` — so the heavy term
+    rides the MXU and the batch axis shards cleanly over a device mesh;
   * `jax.lax.top_k` extracts the k smallest distances;
-  * memory is bounded by tiling the point axis with `lax.map`, never
-    materialising more than (tile x V) distances (the reference bounds the
-    same blow-up with its 2048-ray chunk loop);
-  * a fused Pallas kernel (ops/knn_pallas.py) implements the same
-    contract without materialising the distance matrix at all.
+  * HBM is bounded by a `lax.scan` over point-axis chunks: the transient
+    distance matrix never exceeds (B, chunk, V). The batch axis stays
+    parallel (sharded), only the chunk axis is sequential — this replaces
+    the reference's host-level 2048-ray chunk loop;
+  * a fused Pallas kernel (ops/knn_pallas.py) implements the same contract
+    on TPU without materialising the distance matrix at all.
 
-The kNN itself is non-differentiable (indices); distances are recomputed
-differentiably downstream where gradients are needed — mirroring the
-reference's no_grad kNN.
+The kNN indices are non-differentiable; the geometry stays f32 (bf16 dot
+products would suffer catastrophic cancellation in `|p|^2 - 2p.v + |v|^2`),
+hence the explicit HIGHEST precision.
 """
 
 from __future__ import annotations
@@ -27,55 +28,49 @@ import jax
 import jax.numpy as jnp
 
 
-def _pad_to_multiple(x: jax.Array, multiple: int, axis: int, fill=0.0):
-    n = x.shape[axis]
-    pad = (-n) % multiple
-    if pad == 0:
-        return x, n
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths, constant_values=fill), n
+def _knn_chunk(points: jax.Array, verts: jax.Array, v_sq: jax.Array, k: int):
+    """points (B, T, 3), verts (B, V, 3), v_sq (B, V) -> ((B,T,k), (B,T,k))."""
+    p_sq = jnp.sum(points * points, axis=-1, keepdims=True)  # (B, T, 1)
+    cross = jnp.einsum("btc,bvc->btv", points, verts,
+                       precision=jax.lax.Precision.HIGHEST)
+    d2 = p_sq - 2.0 * cross + v_sq[:, None, :]  # (B, T, V)
+    neg_d2, idx = jax.lax.top_k(-d2, k)
+    return jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), idx
 
 
-@partial(jax.jit, static_argnames=("k", "tile"))
+@partial(jax.jit, static_argnames=("k", "chunk"))
 def knn(points: jax.Array, verts: jax.Array, k: int = 4,
-        tile: int = 8192) -> tuple[jax.Array, jax.Array]:
+        chunk: int = 4096) -> tuple[jax.Array, jax.Array]:
     """Exact k nearest vertices for each query point.
 
     Args:
-      points: (..., N, 3) query points.
-      verts: (..., V, 3) reference cloud (V small, e.g. 6890 — replicated).
+      points: (B, N, 3) query points.
+      verts: (B, V, 3) reference cloud (V small, e.g. 6890 — replicated).
       k: neighbours to return.
-      tile: point-axis tile bounding the transient distance matrix.
+      chunk: per-batch-element point chunk bounding the transient (B, chunk,
+        V) distance matrix; the scan over chunks is sequential, the batch
+        axis is not.
     Returns:
-      (dists, idx): (..., N, k) euclidean distances (ascending) and vertex
+      (dists, idx): (B, N, k) euclidean distances (ascending) and vertex
       indices, matching the brute-force torch fallback semantics
       (reference anim_nerf.py:161-163).
     """
-    batch_shape = points.shape[:-2]
-    N, V = points.shape[-2], verts.shape[-2]
-    p = points.reshape((-1, N, 3))
-    v = verts.reshape((-1, V, 3))
+    B, N, _ = points.shape
+    v_sq = jnp.sum(verts * verts, axis=-1)  # (B, V)
 
-    def one_batch(args):
-        p_b, v_b = args
-        v_sq = jnp.sum(v_b * v_b, axis=-1)  # (V,)
+    if N <= chunk:
+        return _knn_chunk(points, verts, v_sq, k)
 
-        def one_tile(p_tile):  # (T, 3)
-            p_sq = jnp.sum(p_tile * p_tile, axis=-1, keepdims=True)  # (T,1)
-            # MXU: (T,3)@(3,V)
-            cross = jnp.matmul(p_tile, v_b.T, precision=jax.lax.Precision.HIGHEST)
-            d2 = p_sq - 2.0 * cross + v_sq[None, :]
-            neg_d2, idx = jax.lax.top_k(-d2, k)
-            d2k = jnp.maximum(-neg_d2, 0.0)
-            return jnp.sqrt(d2k), idx
+    pad = (-N) % chunk
+    p = jnp.pad(points, ((0, 0), (0, pad), (0, 0))) if pad else points
+    n_chunks = p.shape[1] // chunk
+    # (C, B, T, 3): scan over chunks; batch axis stays sharded/parallel
+    xs = p.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
 
-        if N <= tile:
-            return one_tile(p_b)
-        p_pad, n_orig = _pad_to_multiple(p_b, tile, axis=0)
-        tiles = p_pad.reshape(-1, tile, 3)
-        d, i = jax.lax.map(one_tile, tiles)
-        return (d.reshape(-1, k)[:n_orig], i.reshape(-1, k)[:n_orig])
+    def step(carry, x):
+        return carry, _knn_chunk(x, verts, v_sq, k)
 
-    d, i = jax.lax.map(one_batch, (p, v))
-    return (d.reshape(*batch_shape, N, k), i.reshape(*batch_shape, N, k))
+    _, (d, i) = jax.lax.scan(step, None, xs)
+    d = d.transpose(1, 0, 2, 3).reshape(B, -1, k)[:, :N]
+    i = i.transpose(1, 0, 2, 3).reshape(B, -1, k)[:, :N]
+    return d, i

@@ -1,0 +1,310 @@
+"""Training system: losses, optimizer, train/eval steps.
+
+Re-design of the reference's PyTorch-Lightning module
+(/root/reference/train.py:102-424) as pure jittable functions over an
+explicit ``TrainState``:
+
+  * six-term loss (rgb + fine, alpha L1 + fine, foreground/background sigma
+    regularizers + fine, autograd normal smoothness + fine) — train.py:228-322
+  * three optimizer groups via optax.multi_transform: the field at lr, the
+    latent codes at lr, the body params at 0.5*lr (train.py:217-226), adam
+    eps 1e-8 + per-epoch polynomial decay (utils/__init__.py:33-58)
+  * SMPL-refinement mode: load a pretrained field, freeze it, optimise only
+    the per-frame body params (train.py:433-437)
+
+TPU notes: one fused program per step — no chunk loop; rays arrive already
+batched (B, R, 8) and the whole step (body model x2, warp, two MLP passes,
+compositing, 2nd-order normal loss, backward) is a single XLA computation.
+The batch axis shards over the mesh 'data' axis (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from animnerf_tpu.config import CfgNode
+from animnerf_tpu.models.anim_nerf import AnimNeRFConfig, AnimNeRFModel
+from animnerf_tpu.models.body_params import (
+    batch_params_from_data,
+    lookup_body_params,
+)
+from animnerf_tpu.models.warp import prepare_frame, rays_to_root_frame
+from animnerf_tpu.render.volume_renderer import RendererConfig, render_rays
+from animnerf_tpu.smpl.body_model import BodyModel
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any          # {'anim_nerf':…, 'body_params':…, 'latent_codes':…}
+    opt_state: Any
+
+
+def psnr(pred: jax.Array, target: jax.Array) -> jax.Array:
+    mse = jnp.mean((pred - target) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
+def _safe_normalize(n: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """n / (|n| + eps) with a finite gradient at n == 0.
+
+    jnp.linalg.norm has a NaN gradient at zero (torch subgradients to 0,
+    which is what keeps the reference's normal loss alive at init), so the
+    norm is computed as sqrt(sum n^2 + tiny)."""
+    norm = jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+    return n / (norm + eps)
+
+
+@dataclasses.dataclass
+class AnimNeRFSystem:
+    """Bundles config + model + body model; exposes pure step functions."""
+
+    cfg: CfgNode
+    body_model: BodyModel
+
+    def __post_init__(self):
+        c = self.cfg
+        use_fine = (c.n_importance > 0) or (c.n_depth > 0)
+        self.scene_cfg = AnimNeRFConfig(
+            freqs_xyz=c.freqs_xyz,
+            freqs_dir=c.freqs_dir,
+            use_view=c.use_view,
+            use_unpose=c.use_unpose,
+            unpose_view=c.unpose_view,
+            k_neigh=c.k_neigh,
+            use_deformation=c.use_deformation,
+            deformation_dim=c.deformation_dim,
+            apperance_dim=c.apperance_dim,
+            use_fine=use_fine,
+            share_fine=c.share_fine,
+            dis_threshold=c.dis_threshold,
+            query_inside=c.query_inside,
+            compute_dtype=c.get("compute_dtype", "float32"),
+        )
+        self.scene = AnimNeRFModel(self.scene_cfg)
+        self.renderer_cfg = RendererConfig(
+            n_coarse=c.n_samples,
+            n_fine=c.n_importance,
+            n_fine_depth=c.n_depth,
+            share_fine=c.share_fine,
+            white_bkgd=c.white_bkgd,
+        )
+        self.latent_dim = c.deformation_dim + c.apperance_dim
+
+    # ------------------------------------------------------------- init
+
+    def init_params(self, rng: jax.Array, body_params: dict) -> dict:
+        params = {"anim_nerf": self.scene.init(rng)}
+        if self.latent_dim > 0:
+            # reference init: N(0, 0.1) embeddings (train.py:133-137)
+            params["latent_codes"] = 0.1 * jax.random.normal(
+                jax.random.fold_in(rng, 1),
+                (self.cfg.num_frames, self.latent_dim))
+        params["body_params"] = body_params
+        return params
+
+    def make_optimizer(self, steps_per_epoch: int,
+                       train_field: bool = True) -> optax.GradientTransformation:
+        c = self.cfg.train
+
+        def schedule(base_lr):
+            def fn(step):
+                epoch = step // max(steps_per_epoch, 1)
+                frac = 1.0 - epoch / self.cfg.train.max_epochs
+                return base_lr * jnp.maximum(frac, 0.0) ** c.scheduler.poly_exp
+            return fn
+
+        def adam(base_lr):
+            if c.optimizer.type == "sgd":
+                return optax.sgd(schedule(base_lr), momentum=c.optimizer.momentum)
+            return optax.adam(schedule(base_lr), eps=1e-8)
+
+        transforms = {
+            "field": adam(c.lr) if train_field else optax.set_to_zero(),
+            "latent": adam(c.lr),
+            "body": (adam(c.lr * 0.5) if self.cfg.optim_body_params
+                     else optax.set_to_zero()),
+        }
+
+        def label_fn(params):
+            labels = {"anim_nerf": jax.tree.map(lambda _: "field",
+                                                params["anim_nerf"]),
+                      "body_params": jax.tree.map(lambda _: "body",
+                                                  params["body_params"])}
+            if "latent_codes" in params:
+                labels["latent_codes"] = "latent"
+            return labels
+
+        return optax.multi_transform(transforms, label_fn)
+
+    def init_state(self, rng: jax.Array, body_params: dict,
+                   steps_per_epoch: int, train_field: bool = True) -> TrainState:
+        params = self.init_params(rng, body_params)
+        tx = self.make_optimizer(steps_per_epoch, train_field)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=tx.init(params))
+
+    # --------------------------------------------------------- rendering
+
+    def _codes(self, params: dict, frame_idx: Optional[jax.Array]):
+        d_code = a_code = None
+        if self.latent_dim > 0 and frame_idx is not None:
+            safe_idx = jnp.maximum(frame_idx, 0)
+            codes = params["latent_codes"][safe_idx]
+            dd = self.cfg.deformation_dim
+            if dd > 0:
+                d_code = codes[:, :dd]
+            if self.cfg.apperance_dim > 0:
+                a_code = codes[:, dd:dd + self.cfg.apperance_dim]
+        return d_code, a_code
+
+    def render(self, params: dict, body_params: dict,
+               body_params_template: dict, rays: jax.Array,
+               frame_idx: Optional[jax.Array] = None, perturb: float = 0.0,
+               key: Optional[jax.Array] = None):
+        """Render a ray batch (B, R, 8) -> dict of (B, R, C) images.
+        Equivalent of AnimNeRFSystem.forward (train.py:189-215), unchunked."""
+        ctx = prepare_frame(self.body_model, body_params, body_params_template)
+        rays_root = rays_to_root_frame(ctx, rays)
+        d_code, a_code = self._codes(params, frame_idx)
+
+        def point_fn(xyz, viewdir, use_fine):
+            return self.scene.apply_points(
+                params["anim_nerf"], ctx, xyz, viewdir, use_fine,
+                deformation_code=d_code, apperance_code=a_code)
+
+        out = render_rays(self.renderer_cfg, point_fn, rays_root,
+                          perturb=perturb, key=key)
+        return out, ctx
+
+    # ------------------------------------------------------------- loss
+
+    def compute_loss(self, params: dict, results: dict, rgbs: jax.Array,
+                     alphas: jax.Array, ctx, key: jax.Array,
+                     fg_points: Optional[jax.Array] = None,
+                     bg_points: Optional[jax.Array] = None,
+                     frame_idx: Optional[jax.Array] = None):
+        """Six-term loss (reference train.py:228-322)."""
+        c = self.cfg
+        t = c.train
+        has_fine = c.n_importance > 0 and not c.share_fine
+        d_code, _ = self._codes(params, frame_idx)
+
+        details = {}
+        loss = jnp.mean((results["rgbs"] - rgbs) ** 2)
+        details["loss_rgb"] = loss
+        if has_fine:
+            lf = jnp.mean((results["rgbs_fine"] - rgbs) ** 2)
+            details["loss_rgb_fine"] = lf
+            loss = loss + lf
+
+        la = jnp.mean(jnp.abs(results["alphas"] - alphas))
+        details["loss_alphas"] = la
+        loss = loss + t.lambda_alphas * la
+        if has_fine:
+            laf = jnp.mean(jnp.abs(results["alphas_fine"] - alphas))
+            details["loss_alphas_fine"] = laf
+            loss = loss + t.lambda_alphas * laf
+
+        scale = 2.0 / c.n_samples
+        if c.use_unpose and fg_points is not None:
+            for fine in ([False, True] if has_fine else [False]):
+                s = self.scene.query_sigma(params["anim_nerf"], fg_points,
+                                           use_fine=fine,
+                                           deformation_code=d_code)
+                lfg = jnp.mean(jnp.exp(-scale * jax.nn.relu(s)))
+                details["loss_foreground" + ("_fine" if fine else "")] = lfg
+                loss = loss + t.lambda_foreground * lfg
+        if c.use_unpose and bg_points is not None:
+            for fine in ([False, True] if has_fine else [False]):
+                s = self.scene.query_sigma(params["anim_nerf"], bg_points,
+                                           use_fine=fine,
+                                           deformation_code=d_code)
+                lbg = jnp.mean(1.0 - jnp.exp(-scale * jax.nn.relu(s)))
+                details["loss_background" + ("_fine" if fine else "")] = lbg
+                loss = loss + t.lambda_background * lbg
+
+        # normal smoothness on jittered template verts (train.py:288-309)
+        k1, k2 = jax.random.split(key)
+        pts = jax.lax.stop_gradient(ctx.verts_template)
+        pts = pts + jax.random.normal(k1, pts.shape) * (c.dis_threshold * 0.5)
+        neighbs = pts + jax.random.normal(k2, pts.shape) * t.epsilon
+        for fine in ([False, True] if has_fine else [False]):
+            n1 = self.scene.query_normal(params["anim_nerf"], pts,
+                                         use_fine=fine, deformation_code=d_code)
+            n2 = self.scene.query_normal(params["anim_nerf"], neighbs,
+                                         use_fine=fine, deformation_code=d_code)
+            n1 = _safe_normalize(n1)
+            n2 = _safe_normalize(n2)
+            ln = jnp.mean((n1 - n2) ** 2)
+            details["loss_normals" + ("_fine" if fine else "")] = ln
+            loss = loss + t.lambda_normals * ln
+
+        details["loss"] = loss
+        return loss, details
+
+    # ------------------------------------------------------------ steps
+
+    def loss_fn(self, params: dict, batch: dict, key: jax.Array):
+        c = self.cfg
+        frame_idx = batch["frame_idx"]
+        if c.optim_body_params:
+            body_params = lookup_body_params(params["body_params"], frame_idx)
+        else:
+            body_params = batch_params_from_data(batch, c.model_type)
+        body_tmpl = batch_params_from_data(batch, c.model_type, template=True)
+
+        k_render, k_loss = jax.random.split(key)
+        results, ctx = self.render(params, body_params, body_tmpl,
+                                   batch["rays"], frame_idx, perturb=1.0,
+                                   key=k_render)
+        loss, details = self.compute_loss(
+            params, results, batch["rgbs"], batch["alphas"], ctx, k_loss,
+            fg_points=batch.get("fg_points"), bg_points=batch.get("bg_points"),
+            frame_idx=frame_idx)
+        rgb_key = "rgbs_fine" if "rgbs_fine" in results else "rgbs"
+        details["psnr"] = psnr(results[rgb_key], batch["rgbs"])
+        return loss, details
+
+    def make_train_step(self, tx: optax.GradientTransformation):
+        def train_step(state: TrainState, batch: dict, key: jax.Array):
+            key = jax.random.fold_in(key, state.step)
+            grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+            (loss, details), grads = grad_fn(state.params, batch, key)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   opt_state=opt_state)
+            return new_state, details
+
+        return train_step
+
+    def make_eval_step(self):
+        def eval_step(params: dict, batch: dict):
+            c = self.cfg
+            frame_idx = batch["frame_idx"]
+            use_stored = c.optim_body_params
+            if use_stored:
+                stored = lookup_body_params(params["body_params"], frame_idx)
+                given = batch_params_from_data(batch, c.model_type)
+                # frame not in the train set (frame_idx == -1) -> given params
+                sel = (frame_idx >= 0).astype(jnp.float32)
+                body_params = {
+                    k: sel.reshape((-1,) + (1,) * (stored[k].ndim - 1)) * stored[k]
+                    + (1 - sel.reshape((-1,) + (1,) * (given[k].ndim - 1))) * given[k]
+                    for k in stored}
+            else:
+                body_params = batch_params_from_data(batch, c.model_type)
+            body_tmpl = batch_params_from_data(batch, c.model_type, template=True)
+            results, _ = self.render(params, body_params, body_tmpl,
+                                     batch["rays"], frame_idx, perturb=0.0)
+            return results
+
+        return eval_step

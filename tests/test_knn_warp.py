@@ -41,8 +41,8 @@ def test_knn_tiled_matches_untiled():
     rng = np.random.default_rng(1)
     pts = jnp.asarray(rng.normal(size=(1, 300, 3)).astype(np.float32))
     verts = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
-    d1, i1 = knn(pts, verts, k=4, tile=8192)
-    d2, i2 = knn(pts, verts, k=4, tile=128)
+    d1, i1 = knn(pts, verts, k=4, chunk=8192)
+    d2, i2 = knn(pts, verts, k=4, chunk=128)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
