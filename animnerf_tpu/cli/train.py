@@ -1,0 +1,33 @@
+"""Training CLI (parity: reference train.py:426-461).
+
+    python train.py --cfg_file configs/people_snapshot/male-3-casual.yaml \\
+        [key value ...]
+
+Refinement mode works exactly like the reference's *_refine.yaml flow:
+set train.ckpt_path + train.model_names_to_load ['anim_nerf'] and the field
+loads frozen while per-frame body params optimise on the new frames.
+"""
+
+from __future__ import annotations
+
+
+def main(argv=None) -> None:
+    from animnerf_tpu.config import get_cfg
+    from animnerf_tpu.training.loop import evaluate, fit
+
+    cfg = get_cfg(argv)
+    print(f"[animnerf_tpu] training {cfg.exp_name} "
+          f"({cfg.num_frames} frames @ {tuple(cfg.img_wh)})", flush=True)
+    ckpt_dir = fit(cfg)
+    print(f"[animnerf_tpu] done; checkpoints in {ckpt_dir}", flush=True)
+
+    # post-fit test pass, like reference trainer.test (train.py:461)
+    import os
+
+    last = os.path.join(ckpt_dir, "last")
+    if os.path.exists(last):
+        evaluate(cfg, last, split="test")
+
+
+if __name__ == "__main__":
+    main()

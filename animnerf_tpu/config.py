@@ -82,8 +82,13 @@ class CfgNode(dict):
         for key, raw in zip(opts[::2], opts[1::2]):
             node = self
             parts = key.split(".")
-            for p in parts[:-1]:
-                node = node[p]
+            try:
+                for p in parts[:-1]:
+                    node = node[p]
+                if parts[-1] not in node:
+                    raise KeyError
+            except (KeyError, TypeError):
+                raise KeyError(f"unknown config key {key!r}") from None
             leaf = parts[-1]
             old = node.get(leaf)
             try:

@@ -50,6 +50,10 @@ class AnimNeRFConfig:
     query_inside: bool = False
     weight_std: float = 0.1
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native training
+    # Rematerialize the canonical MLP in backward: activations for millions
+    # of point queries dominate HBM (a 16k-ray step OOMs a 16G chip without
+    # this); recomputing the 8x256 trunk costs ~1/3 extra FLOPs.
+    remat: bool = True
 
 
 class AnimNeRFModel:
@@ -128,7 +132,13 @@ class AnimNeRFModel:
         """(B, N, 3) canonical points -> (rgb (B,N,3), sigma (B,N,1))."""
         module, key = self._field(use_fine)
         n = xyz.shape[1]
-        return module.apply(
+
+        def apply_fn(p, xyz, viewdir, d_code, a_code):
+            return module.apply(p, xyz, viewdir, d_code, a_code)
+
+        if self.cfg.remat:
+            apply_fn = jax.checkpoint(apply_fn)
+        return apply_fn(
             params[key], xyz, viewdir,
             self._expand_code(deformation_code, n),
             self._expand_code(apperance_code, n),
@@ -137,9 +147,14 @@ class AnimNeRFModel:
     def query_sigma(self, params: dict, xyz: jax.Array, use_fine: bool = False,
                     deformation_code: Optional[jax.Array] = None):
         module, key = self._field(use_fine)
-        return module.apply(params[key], xyz,
-                            self._expand_code(deformation_code, xyz.shape[1]),
-                            method=NeRFMLP.get_sigma)
+
+        def apply_fn(p, xyz, d_code):
+            return module.apply(p, xyz, d_code, method=NeRFMLP.get_sigma)
+
+        if self.cfg.remat:
+            apply_fn = jax.checkpoint(apply_fn)
+        return apply_fn(params[key], xyz,
+                        self._expand_code(deformation_code, xyz.shape[1]))
 
     def query_normal(self, params: dict, xyz: jax.Array, use_fine: bool = False,
                      deformation_code: Optional[jax.Array] = None,

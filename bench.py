@@ -1,0 +1,85 @@
+"""Benchmark: training-step ray throughput on the flagship model.
+
+Measures rays/sec of the full Anim-NeRF training step (SMPL forward x2,
+root-frame rebase, kNN warp against 6,890 verts, coarse 64 + fine 96 sample
+MLP evaluation, compositing, six-term loss incl. 2nd-order normal
+smoothness, backward, Adam update) on one chip — the same per-step workload
+as the reference's male-3-casual config (16 x 32^2 = 16,384 rays/step,
+BASELINE.md).
+
+Baseline denominator: the reference publishes no numbers (BASELINE.md);
+PyTorch Anim-NeRF trains 30 epochs x 1,824 steps in roughly a day on one
+consumer GPU => ~5.5 s/step ~= 3,000 rays/s. We use a deliberately generous
+10,000 rays/s estimate for vs_baseline so the ratio understates, not
+overstates, the speedup.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 10_000.0
+
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _flagship_system, _rays
+    from animnerf_tpu.models.body_params import init_body_params
+
+    cfg, system, params_for, num_joints = _flagship_system(tiny=False)
+    # the MLP fast path runs in bf16 on TPU (f32 params/geometry)
+    cfg.compute_dtype = "bfloat16"
+    from animnerf_tpu.training.system import AnimNeRFSystem
+
+    system = AnimNeRFSystem(cfg, system.body_model)
+
+    B, n_rays = 16, 1024  # 16,384 rays/step — the reference workload
+    rng = jax.random.PRNGKey(0)
+    body_params = init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1))
+    state = system.init_state(rng, body_params, steps_per_epoch=100)
+    tx = system.make_optimizer(steps_per_epoch=100)
+    train_step = jax.jit(system.make_train_step(tx), donate_argnums=(0,))
+
+    rng_np = np.random.default_rng(0)
+    tmpl = {k: np.array(v) for k, v in params_for(2, B).items()}
+    tmpl["transl"] = np.zeros_like(tmpl["transl"])
+    batch = {
+        "frame_idx": np.arange(B, dtype=np.int32) % cfg.num_frames,
+        "rays": _rays(B, n_rays),
+        "rgbs": rng_np.uniform(size=(B, n_rays, 3)).astype(np.float32),
+        "alphas": rng_np.uniform(size=(B, n_rays, 1)).astype(np.float32),
+        "fg_points": rng_np.normal(scale=0.2, size=(B, 128, 3)).astype(np.float32),
+        "bg_points": rng_np.normal(scale=0.8, size=(B, 128, 3)).astype(np.float32),
+        **{k + "_template": v for k, v in tmpl.items()},
+    }
+    batch = jax.device_put(batch)
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    state, metrics = train_step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = B * n_rays * n_steps / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
