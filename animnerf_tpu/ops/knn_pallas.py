@@ -90,9 +90,10 @@ def _knn_kernel(points_ref, verts_ref, out_d_ref, out_i_ref,
     out_i_ref[0] = top_i[:]
 
 
-@partial(jax.jit, static_argnames=("k", "tile_n", "tile_v"))
+@partial(jax.jit, static_argnames=("k", "tile_n", "tile_v", "interpret"))
 def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
-               tile_n: int = 256, tile_v: int = 512):
+               tile_n: int = 256, tile_v: int = 512,
+               interpret: bool = False):
     """Exact kNN, same contract as ops.knn.knn: (B,N,3),(B,V,3) ->
     dists (B,N,k) ascending + idx (B,N,k)."""
     B, N, _ = points.shape
@@ -143,6 +144,7 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
         cost_estimate=pl.CostEstimate(
             flops=9 * B * Np * Vp, bytes_accessed=B * (Np + Vp) * 12,
             transcendentals=0),
+        interpret=interpret,
     )(pts_t, vts_t)
 
     d = jax.lax.stop_gradient(out_d.transpose(0, 2, 1)[:, :N])

@@ -1,0 +1,195 @@
+"""Tests for evaluator, checkpoints, marching tets, vis, rasterizer."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------- evaluator
+
+
+def test_psnr_ssim_known_values():
+    from animnerf_tpu.models.evaluator import psnr, ssim
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    assert psnr(img, img) == float("inf")
+    assert ssim(img, img) == pytest.approx(1.0, abs=1e-6)
+
+    noisy = np.clip(img + 0.1, 0, 1)
+    p = psnr(noisy, img)
+    assert 19 < p < 21  # MSE ~0.01 -> 20 dB
+    assert ssim(noisy, img) < 1.0
+
+
+def test_evaluator_graceful_without_lpips():
+    from animnerf_tpu.models.evaluator import Evaluator
+
+    ev = Evaluator(use_lpips=True)  # lpips likely absent; must not raise
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(24, 24, 3)).astype(np.float32)
+    out = ev(img, img * 0.9)
+    assert "psnr" in out and "ssim" in out
+
+
+# ------------------------------------------------------------- checkpoints
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from animnerf_tpu.training.checkpoints import (
+        load_params,
+        save_params,
+        load_metadata,
+    )
+
+    params = {
+        "anim_nerf": {"params": {"xyz_0": {"kernel": jnp.ones((3, 4)),
+                                           "bias": jnp.zeros(4)}}},
+        "body_params": {"betas": jnp.full((1, 10), 0.5)},
+    }
+    path = str(tmp_path / "ckpt")
+    save_params(path, params, {"step": 7})
+    target = jax.tree.map(jnp.zeros_like, params)
+    loaded = load_params(path, target)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["anim_nerf"]["params"]["xyz_0"]["kernel"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(loaded["body_params"]["betas"]), 0.5)
+    assert load_metadata(path)["step"] == 7
+
+
+def test_checkpoint_partial_group_load(tmp_path):
+    """Refinement flow: load only anim_nerf, keep body params fresh."""
+    from animnerf_tpu.training.checkpoints import load_params, save_params
+
+    params = {"anim_nerf": {"w": jnp.ones(3)}, "body_params": {"b": jnp.ones(2)}}
+    path = str(tmp_path / "ckpt")
+    save_params(path, params)
+    target = jax.tree.map(jnp.zeros_like, params)
+    loaded = load_params(path, target, groups=["anim_nerf"])
+    np.testing.assert_array_equal(np.asarray(loaded["anim_nerf"]["w"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(loaded["body_params"]["b"]), 0.0)
+
+
+def test_checkpoint_manager_topk(tmp_path):
+    from animnerf_tpu.training.checkpoints import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path), monitor="psnr", save_top_k=1)
+    params = {"g": {"x": jnp.zeros(1)}}
+    p1 = m.save(params, 1, {"psnr": 10.0})
+    p2 = m.save(params, 2, {"psnr": 20.0})
+    p3 = m.save(params, 3, {"psnr": 15.0})  # worse than best -> not kept
+    assert p1 is not None and p2 is not None and p3 is None
+    assert m.best_path == p2
+    assert not os.path.exists(p1)
+    assert os.path.exists(os.path.join(str(tmp_path), "last"))
+
+
+# ----------------------------------------------------------- marching tets
+
+
+def _sphere_field(n=24, r=0.3):
+    g = np.linspace(-0.5, 0.5, n, dtype=np.float32)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    return np.sqrt(x**2 + y**2 + z**2) - r  # <0 inside
+
+
+def test_marching_tets_numpy_sphere():
+    from animnerf_tpu.ops.marching import marching_tets_numpy
+
+    n, r = 24, 0.3
+    field = _sphere_field(n, r)
+    verts, tris = marching_tets_numpy(field, 0.0)
+    assert len(verts) > 0 and len(tris) > 0
+    # vertices lie on the r-sphere (in grid coords, center (n-1)/2, h=1/(n-1))
+    w = (verts / (n - 1)) - 0.5
+    radii = np.linalg.norm(w, axis=-1)
+    np.testing.assert_allclose(radii, r, atol=0.03)
+
+
+def test_marching_tets_native_matches_numpy():
+    from animnerf_tpu.ops.marching import (
+        marching_tets_native,
+        marching_tets_numpy,
+    )
+
+    field = _sphere_field(16, 0.3)
+    try:
+        v_n, t_n = marching_tets_native(field, 0.0)
+    except Exception as e:
+        pytest.skip(f"native toolchain unavailable: {e}")
+    v_p, t_p = marching_tets_numpy(field, 0.0)
+    # same surface: every native vertex appears in the numpy soup & vice versa
+    assert len(t_n) == len(t_p)
+
+    def key(v):
+        return set(map(tuple, np.round(v, 4)))
+
+    assert key(v_n) == key(v_p)
+    # watertight-ish: native merges shared vertices
+    assert len(v_n) < len(v_p)
+
+
+def test_smooth_preserves_sign_structure():
+    from animnerf_tpu.ops.marching import smooth
+
+    field = _sphere_field(24, 0.3)
+    s = smooth(-field)  # positive inside
+    assert s[12, 12, 12] > 0
+    assert s[0, 0, 0] < 0
+
+
+# --------------------------------------------------------------- rasterizer
+
+
+def test_software_rasterizer_triangle():
+    from animnerf_tpu.utils.renderer import SoftwareRenderer
+
+    r = SoftwareRenderer((64, 64), bg_color=(0, 0, 0))
+    r.set_camera(64, 64, 32, 32, np.eye(3), np.zeros(3))
+    # triangle 2m in front (reference convention: +z in front after flip)
+    verts = np.array([[-0.5, -0.5, 2.0], [0.5, -0.5, 2.0], [0.0, 0.6, 2.0]])
+    faces = np.array([[0, 1, 2]])
+    img = r.render(verts, faces)
+    assert img.shape == (64, 64, 3)
+    assert (img.sum(-1) > 0).mean() > 0.05  # something was drawn
+    # z-buffer: nearer triangle wins
+    verts2 = np.concatenate([verts, verts * [0.5, 0.5, 0.5]])  # closer copy
+    faces2 = np.array([[0, 1, 2], [3, 4, 5]])
+    img2 = r.render(verts2, faces2, color=(1.0, 0.0, 0.0))
+    assert (img2.sum(-1) > 0).mean() > 0.05
+
+
+# ------------------------------------------------------------------- vis
+
+
+def test_vis_triptych(tmp_path):
+    from animnerf_tpu.utils.vis import save_triptych, triptych
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(size=(16, 16, 3))
+    pred = rng.uniform(size=(16, 16, 3))
+    depth = rng.uniform(4, 6, size=(16, 16))
+    t = triptych(gt, pred, depth)
+    assert t.shape == (16, 48, 3) and t.dtype == np.uint8
+    p = str(tmp_path / "t.png")
+    save_triptych(p, gt, pred, depth)
+    assert os.path.exists(p)
+
+
+# -------------------------------------------------------------------- io
+
+
+def test_obj_roundtrip(tmp_path):
+    from animnerf_tpu.utils.io import load_obj, save_obj
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    p = str(tmp_path / "m.obj")
+    save_obj(p, verts, faces)
+    v, f = load_obj(p)
+    np.testing.assert_allclose(v, verts, atol=1e-5)
+    np.testing.assert_array_equal(f, faces)

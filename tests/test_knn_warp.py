@@ -205,3 +205,24 @@ def test_warp_parity_vs_reference(tmp_path):
     np.testing.assert_allclose(np.asarray(valid), ref_valid.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(xyz_cano), ref_unposed.numpy(),
                                atol=5e-4)
+
+
+def test_knn_pallas_interpret_matches_bruteforce():
+    """The fused TPU kernel, run in interpreter mode on CPU, must agree
+    with the jnp brute-force path exactly."""
+    from animnerf_tpu.ops.knn import knn_bruteforce
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32))
+    verts = jnp.asarray(rng.normal(size=(2, 700, 3)).astype(np.float32))
+    d_ref, i_ref = knn_bruteforce(pts, verts, k=4)
+    d_pl, i_pl = knn_pallas(pts, verts, k=4, tile_n=128, tile_v=256,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref), atol=2e-4)
+    # indices may differ only on distance ties
+    d_check = np.take_along_axis(
+        np.linalg.norm(np.asarray(pts)[:, :, None] - np.asarray(verts)[:, None],
+                       axis=-1),
+        np.asarray(i_pl), axis=-1)
+    np.testing.assert_allclose(d_check, np.asarray(d_ref), atol=2e-4)
