@@ -181,23 +181,27 @@ class AnimNeRFModel:
             rot = valid[..., None] * rot + (1.0 - valid[..., None]) * eye
         return jnp.einsum("bnmk,bnk->bnm", rot, xyz) + trans
 
-    def apply_points(self, params: dict, ctx: Optional[FrameContext],
-                     xyz: jax.Array, viewdir: Optional[jax.Array] = None,
+    def warp_points(self, ctx: Optional[FrameContext], xyz: jax.Array,
+                    viewdir: Optional[jax.Array] = None):
+        """Observed -> canonical warp (reference anim_nerf.py:180-192).
+        Returns (xyz_cano, viewdir, valid|None)."""
+        c = self.cfg
+        if not c.use_unpose:
+            return xyz, viewdir, None
+        assert ctx is not None, "use_unpose requires a FrameContext"
+        return unpose(ctx, xyz, viewdir, k=c.k_neigh,
+                      dis_threshold=c.dis_threshold, weight_std=c.weight_std,
+                      unpose_view=c.unpose_view)
+
+    def field_points(self, params: dict, xyz: jax.Array,
+                     viewdir: Optional[jax.Array] = None,
+                     valid: Optional[jax.Array] = None,
                      use_fine: bool = False,
                      deformation_code: Optional[jax.Array] = None,
                      apperance_code: Optional[jax.Array] = None):
-        """Full observed-space point query: unpose -> (DeRF) -> canonical MLP
-        -> outside-shell sigma fill (reference anim_nerf.py:290-307)."""
+        """Canonical-space query: (DeRF) -> MLP -> outside-shell sigma fill
+        (reference anim_nerf.py:298-307)."""
         c = self.cfg
-        if c.use_unpose:
-            assert ctx is not None, "use_unpose requires a FrameContext"
-            xyz, viewdir, valid = unpose(
-                ctx, xyz, viewdir, k=c.k_neigh, dis_threshold=c.dis_threshold,
-                weight_std=c.weight_std, unpose_view=c.unpose_view,
-            )
-        else:
-            valid = None
-
         if c.use_deformation:
             xyz = self.apply_deformation(params, xyz, valid, deformation_code)
 
@@ -210,3 +214,14 @@ class AnimNeRFModel:
                 # masked-dense equivalent of the reference's boolean gather
                 rgb = jnp.where(valid < 1.0, 0.0, rgb)
         return rgb, sigma
+
+    def apply_points(self, params: dict, ctx: Optional[FrameContext],
+                     xyz: jax.Array, viewdir: Optional[jax.Array] = None,
+                     use_fine: bool = False,
+                     deformation_code: Optional[jax.Array] = None,
+                     apperance_code: Optional[jax.Array] = None):
+        """Full observed-space point query: unpose -> (DeRF) -> canonical MLP
+        -> outside-shell sigma fill (reference anim_nerf.py:290-307)."""
+        xyz, viewdir, valid = self.warp_points(ctx, xyz, viewdir)
+        return self.field_points(params, xyz, viewdir, valid, use_fine,
+                                 deformation_code, apperance_code)

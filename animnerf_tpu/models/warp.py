@@ -170,8 +170,18 @@ def blend_neighbour_transforms(
     dists, idx = knn(xyz, ctx.verts, k=k)  # (B, N, k) each
     dists = jax.lax.stop_gradient(dists)
 
-    # (B, N, k, J) neighbour skinning weights
-    neigh_w = ctx.lbs_weights[idx]
+    # ONE fused gather of [lbs weights | flat transform] per neighbour, and
+    # the blend as an einsum over the flat (16) transform — never
+    # materialising a (B, N, k, 4, 4) tensor whose tiny trailing dims would
+    # lane-pad 32x on TPU (measured 5x slower than this layout).
+    table = jnp.concatenate(
+        [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
+         ctx.ober2cano.reshape(B, V, 16)], axis=-1)  # (B, V, J+16)
+    g = jnp.take_along_axis(
+        table, idx.reshape(B, N * k, 1), axis=1).reshape(B, N, k, J + 16)
+    neigh_w = g[..., :J]
+    neigh_T = g[..., J:]
+
     conf = jnp.exp(
         -jnp.sum(jnp.abs(neigh_w - neigh_w[..., 0:1, :]), axis=-1)
         / (2.0 * weight_std**2)
@@ -180,12 +190,9 @@ def blend_neighbour_transforms(
     w = jnp.exp(-dists) * gate
     w = w / jnp.sum(w, axis=-1, keepdims=True)
 
-    # Gather + blend the 4x4 transforms (flattened to 16 for one gather).
-    flat = ctx.ober2cano.reshape(B, V, 16)
-    neigh_T = jnp.take_along_axis(
-        flat, idx.reshape(B, N * k, 1), axis=1
-    ).reshape(B, N, k, 4, 4)
-    blended_T = jnp.sum(w[..., None, None] * neigh_T, axis=2)
+    blended_flat = jnp.einsum("bnk,bnkf->bnf", w, neigh_T,
+                              precision=jax.lax.Precision.HIGHEST)
+    blended_T = blended_flat.reshape(B, N, 4, 4)
     blended_dist = jnp.sum(w * dists, axis=-1, keepdims=True)
     return blended_dist, blended_T
 

@@ -51,14 +51,19 @@ class Renderer:
         d = jnp.einsum("ij,brj->bri", P[:3, :3], rays_root[..., 3:6])
         rays_root = jnp.concatenate([o, d, rays_root[..., 6:8]], axis=-1)
 
-        def point_fn(xyz, viewdir, use_fine):
-            return self.system.scene.apply_points(
-                params["anim_nerf"], ctx, xyz, viewdir, use_fine)
+        scene = self.system.scene
 
-        from animnerf_tpu.render.volume_renderer import render_rays
+        def warp_fn(xyz, viewdir):
+            return scene.warp_points(ctx, xyz, viewdir)
 
-        return render_rays(self.system.renderer_cfg, point_fn, rays_root,
-                           perturb=0.0)
+        def field_fn(xyz, viewdir, valid, use_fine):
+            return scene.field_points(params["anim_nerf"], xyz, viewdir,
+                                      valid, use_fine)
+
+        from animnerf_tpu.render.volume_renderer import render_rays_split
+
+        return render_rays_split(self.system.renderer_cfg, warp_fn, field_fn,
+                                 rays_root, perturb=0.0)
 
     def render_frame(self, params, body_params, body_tmpl, rays: np.ndarray,
                      P: Optional[np.ndarray] = None,

@@ -36,7 +36,7 @@ from animnerf_tpu.models.body_params import (
     lookup_body_params,
 )
 from animnerf_tpu.models.warp import prepare_frame, rays_to_root_frame
-from animnerf_tpu.render.volume_renderer import RendererConfig, render_rays
+from animnerf_tpu.render.volume_renderer import RendererConfig, render_rays_split
 from animnerf_tpu.smpl.body_model import BodyModel
 
 
@@ -175,13 +175,16 @@ class AnimNeRFSystem:
         rays_root = rays_to_root_frame(ctx, rays)
         d_code, a_code = self._codes(params, frame_idx)
 
-        def point_fn(xyz, viewdir, use_fine):
-            return self.scene.apply_points(
-                params["anim_nerf"], ctx, xyz, viewdir, use_fine,
+        def warp_fn(xyz, viewdir):
+            return self.scene.warp_points(ctx, xyz, viewdir)
+
+        def field_fn(xyz, viewdir, valid, use_fine):
+            return self.scene.field_points(
+                params["anim_nerf"], xyz, viewdir, valid, use_fine,
                 deformation_code=d_code, apperance_code=a_code)
 
-        out = render_rays(self.renderer_cfg, point_fn, rays_root,
-                          perturb=perturb, key=key)
+        out = render_rays_split(self.renderer_cfg, warp_fn, field_fn,
+                                rays_root, perturb=perturb, key=key)
         return out, ctx
 
     # ------------------------------------------------------------- loss
