@@ -34,6 +34,15 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
+def mesh_for_batch(batch_size: int) -> Mesh:
+    """Largest mesh whose size divides the batch (a 2-sample debug batch on
+    an 8-device host should use 2 devices, not crash)."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis of every array in a train batch."""
     return NamedSharding(mesh, P("data"))

@@ -79,6 +79,39 @@ def load_metadata(path: str) -> dict:
         return json.load(f)
 
 
+def save_train_state(path: str, state, metadata: Optional[dict] = None) -> None:
+    """Full-state checkpoint: params groups + optimizer state + step
+    (enables PL-style resume, reference train.py:460)."""
+    meta = dict(metadata or {})
+    meta["step"] = int(state.step)
+    save_params(path, state.params, meta)
+    np.savez(os.path.join(path, "opt_state.npz"), **_flatten(state.opt_state))
+
+
+def load_train_state(path: str, target):
+    """Restore a TrainState saved by save_train_state into `target`'s
+    structure (params missing from disk keep target values)."""
+    params = load_params(path, target.params)
+    meta = load_metadata(path)
+    opt_state = target.opt_state
+    opt_file = os.path.join(path, "opt_state.npz")
+    if os.path.exists(opt_file):
+        data = np.load(opt_file)
+        leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(
+            target.opt_state)
+        new_leaves = []
+        for p, leaf in leaves_with_path:
+            key = "/".join(str(getattr(q, "key", getattr(q, "idx", q)))
+                           for q in p)
+            new_leaves.append(jax.numpy.asarray(data[key])
+                              if key in data.files else leaf)
+        opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    import jax.numpy as jnp
+
+    return target.replace(params=params, opt_state=opt_state,
+                          step=jnp.asarray(meta.get("step", 0), jnp.int32))
+
+
 class CheckpointManager:
     """Top-k + last checkpoint retention keyed on a monitored metric."""
 

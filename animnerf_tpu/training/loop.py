@@ -26,7 +26,7 @@ import numpy as np
 from animnerf_tpu.config import CfgNode
 from animnerf_tpu.data.dataset import AnimNeRFDataset, Loader
 from animnerf_tpu.models.body_params import load_body_params_from_dataset
-from animnerf_tpu.parallel.mesh import make_mesh
+from animnerf_tpu.parallel.mesh import make_mesh, mesh_for_batch
 from animnerf_tpu.parallel.train_pjit import (
     make_sharded_eval_step,
     make_sharded_train_step,
@@ -35,6 +35,8 @@ from animnerf_tpu.training.checkpoints import (
     CheckpointManager,
     load_metadata,
     load_params,
+    load_train_state,
+    save_train_state,
 )
 from animnerf_tpu.training.system import AnimNeRFSystem
 
@@ -67,7 +69,7 @@ def build_system(cfg: CfgNode) -> AnimNeRFSystem:
 def fit(cfg: CfgNode, profile: bool = False) -> str:
     """Train per the config; returns the checkpoint directory."""
     system = build_system(cfg)
-    mesh = make_mesh()
+    mesh = mesh_for_batch(cfg.train.batch_size)
 
     train_ds = AnimNeRFDataset(
         cfg.root_dir, mode="train", img_wh=tuple(cfg.img_wh),
@@ -91,19 +93,28 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
     train_field = True
     state = system.init_state(rng, body_params, steps_per_epoch)
 
-    # Refinement / transfer: load selected groups from a pretrained ckpt and
-    # freeze the field (reference train.py:433-437).
+    # Refinement / transfer: load selected groups from a pretrained ckpt;
+    # loaded groups freeze unless pretrained_model_requires_grad (reference
+    # train.py:433-437 — e.g. *_refine.yaml loads+freezes 'anim_nerf' and
+    # optimises only the per-frame body params on the test frames).
+    start_step = 0
     if cfg.train.ckpt_path:
         groups = cfg.train.model_names_to_load
         state = state.replace(params=load_params(cfg.train.ckpt_path,
                                                  state.params, groups))
-        if groups and not cfg.train.pretrained_model_requires_grad:
-            train_field = "anim_nerf" not in groups or False
-            # loaded groups are frozen; only body params (+latents) train
+        if (groups and "anim_nerf" in groups
+                and not cfg.train.pretrained_model_requires_grad):
             train_field = False
 
     tx = system.make_optimizer(steps_per_epoch, train_field=train_field)
     state = state.replace(opt_state=tx.init(state.params))
+
+    # Full-state resume (params + optimizer + step), the analogue of PL's
+    # trainer.fit(ckpt_path=...) (reference train.py:460).
+    if cfg.train.resume and cfg.train.ckpt_path:
+        state = load_train_state(cfg.train.ckpt_path, state)
+        start_step = int(state.step)
+
     train_step, place_state, place_batch = make_sharded_train_step(
         system, tx, mesh)
     state = place_state(state)
@@ -117,7 +128,7 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
 
     max_steps = cfg.train.max_steps
     log_every = cfg.train.get("log_every", 50)
-    step = 0
+    step = start_step
     t_start = time.time()
     rays_per_step = cfg.train.batch_size * cfg.train.subsamplesize**2
 
@@ -143,8 +154,13 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
         # end of epoch: checkpoint on train psnr (reference monitors
         # train/psnr, train.py:441-442)
         m = {k: float(v) for k, v in metrics.items()}
-        manager.save(jax.device_get(state.params), step, m,
+        host_state = jax.device_get(state)
+        manager.save(host_state.params, step, m,
                      extra_meta={"epoch": epoch, "cfg": dict_flat(cfg)})
+        # 'last' carries the full train state for resume
+        save_train_state(os.path.join(ckpt_dir, "last"), host_state,
+                         {"epoch": epoch, "cfg": dict_flat(cfg),
+                          "metrics": m})
         if step >= max_steps:
             break
 

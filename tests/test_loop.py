@@ -1,0 +1,167 @@
+"""Tests for the training loop: fit, resume, refinement, config variants."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from animnerf_tpu.config import finalize, get_default_config
+from animnerf_tpu.data.synthetic import write_synthetic_dataset
+from animnerf_tpu.training.loop import evaluate, fit
+
+
+@pytest.fixture(scope="module")
+def ds_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("loopds"))
+    write_synthetic_dataset(root, num_frames=2, img_wh=(24, 24),
+                            num_verts=200, num_joints=10, seed=1)
+    return root
+
+
+def _cfg(root, tmp, **over):
+    cfg = get_default_config()
+    cfg.root_dir = root
+    cfg.model_path = os.path.join(root, "models")
+    cfg.gender = "neutral"
+    cfg.exp_name = over.pop("exp_name", "tiny")
+    cfg.img_wh = (24, 24)
+    cfg.n_samples = 6
+    cfg.n_importance = 3
+    cfg.pose_dim = 27
+    cfg.checkpoints_dir = os.path.join(tmp, "ckpts")
+    cfg.logs_dir = os.path.join(tmp, "logs")
+    cfg.outputs_dir = os.path.join(tmp, "out")
+    cfg.train.frame_start_ID = 1
+    cfg.train.frame_end_ID = 2
+    cfg.train.frame_skip = 1
+    cfg.train.cam_IDs = [0]
+    cfg.train.batch_size = 2
+    cfg.train.subsamplesize = 6
+    cfg.train.max_epochs = 1
+    cfg.train.max_steps = 3
+    cfg.train.log_every = 1
+    cfg.val.frame_start_ID = 1
+    cfg.val.frame_end_ID = 1
+    cfg.val.frame_skip = 1
+    cfg.val.cam_IDs = [0]
+    cfg.test.frame_start_ID = 2
+    cfg.test.frame_end_ID = 2
+    cfg.test.frame_skip = 1
+    cfg.test.cam_IDs = [0]
+    for k, v in over.items():
+        node = cfg
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    return finalize(cfg)
+
+
+def test_fit_resume_refine(ds_root, tmp_path):
+    tmp = str(tmp_path)
+
+    # 1. initial fit
+    cfg = _cfg(ds_root, tmp)
+    ckpt_dir = fit(cfg)
+    last = os.path.join(ckpt_dir, "last")
+    assert os.path.exists(os.path.join(last, "meta.json"))
+    assert os.path.exists(os.path.join(last, "opt_state.npz"))
+
+    from animnerf_tpu.training.checkpoints import load_metadata
+
+    assert load_metadata(last)["step"] == 3
+
+    # 2. full-state resume continues the step counter
+    cfg2 = _cfg(ds_root, tmp)
+    cfg2.train.resume = True
+    cfg2.train.ckpt_path = last
+    cfg2.train.max_steps = 5
+    fit(cfg2)
+    assert load_metadata(last)["step"] == 5
+
+    # 3. refinement: field loaded + frozen, body params move
+    import numpy as np
+
+    field_before = dict(np.load(os.path.join(last, "anim_nerf.npz")))
+    body_before = dict(np.load(os.path.join(last, "body_params.npz")))
+
+    cfg3 = _cfg(ds_root, tmp, exp_name="tiny-refine")
+    cfg3.train.ckpt_path = last
+    cfg3.train.model_names_to_load = ["anim_nerf"]
+    cfg3.train.pretrained_model_requires_grad = False
+    cfg3.train.max_steps = 3
+    refine_dir = fit(cfg3)
+    refined = os.path.join(refine_dir, "last")
+    field_after = dict(np.load(os.path.join(refined, "anim_nerf.npz")))
+    body_after = dict(np.load(os.path.join(refined, "body_params.npz")))
+
+    for k in field_before:
+        np.testing.assert_array_equal(field_before[k], field_after[k])
+    moved = any(
+        not np.allclose(body_before[k], body_after[k]) for k in body_before
+        if k != "betas" or True)
+    assert moved, "body params did not update in refinement mode"
+
+    # 4. evaluate produces finite metrics
+    means = evaluate(cfg, last, split="test")
+    assert np.isfinite(means["psnr"])
+
+
+def test_latent_codes_and_sharefine_variants(ds_root, tmp_path):
+    """deformation/appearance codes + share_fine + use_view paths compile
+    and train one step with finite loss; latent codes receive updates."""
+    from animnerf_tpu.data.dataset import AnimNeRFDataset, Loader
+    from animnerf_tpu.models.body_params import load_body_params_from_dataset
+    from animnerf_tpu.training.loop import build_system
+
+    cfg = _cfg(ds_root, str(tmp_path))
+    cfg.deformation_dim = 4
+    cfg.apperance_dim = 4
+    cfg.use_view = True
+    cfg.freqs_dir = 2
+    cfg.share_fine = True
+    system = build_system(cfg)
+
+    body_params = load_body_params_from_dataset(cfg.frame_IDs, cfg.root_dir)
+    state = system.init_state(jax.random.PRNGKey(0), body_params,
+                              steps_per_epoch=4)
+    assert "latent_codes" in state.params
+    codes_before = np.array(state.params["latent_codes"])
+
+    tx = system.make_optimizer(steps_per_epoch=4)
+    step = jax.jit(system.make_train_step(tx))
+    ds = AnimNeRFDataset(ds_root, mode="train", img_wh=(24, 24),
+                         frame_start_ID=1, frame_end_ID=2, frame_skip=1,
+                         subsamplesize=6)
+    batch = next(Loader(ds, batch_size=2, seed=0).epoch(0))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    codes_after = np.array(state.params["latent_codes"])
+    assert not np.allclose(codes_before, codes_after)
+
+
+def test_use_deformation_path(ds_root, tmp_path):
+    """DeRF deformation branch trains a step with finite loss."""
+    from animnerf_tpu.data.dataset import AnimNeRFDataset, Loader
+    from animnerf_tpu.models.body_params import load_body_params_from_dataset
+    from animnerf_tpu.training.loop import build_system
+
+    cfg = _cfg(ds_root, str(tmp_path))
+    cfg.use_deformation = True
+    cfg.deformation_dim = 4
+    system = build_system(cfg)
+    body_params = load_body_params_from_dataset(cfg.frame_IDs, cfg.root_dir)
+    state = system.init_state(jax.random.PRNGKey(0), body_params,
+                              steps_per_epoch=4)
+    assert "derf" in state.params["anim_nerf"]
+    tx = system.make_optimizer(steps_per_epoch=4)
+    step = jax.jit(system.make_train_step(tx))
+    ds = AnimNeRFDataset(ds_root, mode="train", img_wh=(24, 24),
+                         frame_start_ID=1, frame_end_ID=2, frame_skip=1,
+                         subsamplesize=6)
+    batch = next(Loader(ds, batch_size=2, seed=0).epoch(0))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
