@@ -81,14 +81,35 @@ def make_rig(num_verts: int = 256, num_joints: int = 24, num_betas: int = 10,
 
 
 def make_body_model(num_verts: int = 256, num_joints: int = 24,
-                    num_betas: int = 10, seed: int = 0, model_type: str = "smpl"):
-    """Synthetic BodyModel pytree ready for animnerf_tpu.smpl.forward."""
+                    num_betas: int = 10, seed: int = 0, model_type: str = "smpl",
+                    num_pca: int = 6):
+    """Synthetic BodyModel pytree ready for animnerf_tpu.smpl.forward.
+
+    For model_type 'smplh'/'smplx' the rig gets the right joint counts
+    (52/55 unless overridden) plus random hand-PCA bases and mean poses.
+    """
     import jax.numpy as jnp
 
-    from animnerf_tpu.smpl.body_model import BodyModel
+    from animnerf_tpu.smpl.body_model import BodyModel, NUM_JOINTS
+
+    if model_type in ("smplh", "smplx") and num_joints == 24:
+        num_joints = NUM_JOINTS[model_type]
 
     rig = make_rig(num_verts, num_joints, num_betas, seed)
     extra = np.arange(min(4, num_verts), dtype=np.int32)  # fake keypoints
+    kwargs = {}
+    if model_type in ("smplh", "smplx"):
+        rng = np.random.default_rng(seed + 77)
+        kwargs = dict(
+            hand_components_l=jnp.asarray(
+                rng.normal(scale=0.1, size=(num_pca, 45)).astype(np.float32)),
+            hand_components_r=jnp.asarray(
+                rng.normal(scale=0.1, size=(num_pca, 45)).astype(np.float32)),
+            hand_mean_l=jnp.asarray(
+                rng.normal(scale=0.02, size=45).astype(np.float32)),
+            hand_mean_r=jnp.asarray(
+                rng.normal(scale=0.02, size=45).astype(np.float32)),
+        )
     return BodyModel(
         v_template=jnp.asarray(rig["v_template"]),
         shapedirs=jnp.asarray(rig["shapedirs"]),
@@ -100,6 +121,7 @@ def make_body_model(num_verts: int = 256, num_joints: int = 24,
         extra_joint_idxs=extra,
         model_type=model_type,
         gender="neutral",
+        **kwargs,
     )
 
 

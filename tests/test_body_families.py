@@ -1,0 +1,69 @@
+"""SMPL-H / SMPL-X model-family tests (hand PCA, extended pose vectors)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import animnerf_tpu.smpl.body_model as bm
+from animnerf_tpu.data.synthetic import make_body_model
+from animnerf_tpu.models.body_params import PARAM_DIMS, init_body_params
+from animnerf_tpu.models.warp import prepare_frame, unpose
+
+
+def _params(model_type, B=2, seed=0):
+    rng = np.random.default_rng(seed)
+    dims = PARAM_DIMS[model_type]
+    p = {k: jnp.asarray(rng.normal(scale=0.1, size=(B, d)).astype(np.float32))
+         for k, d in dims.items()}
+    p["betas"] = jnp.asarray(rng.normal(scale=0.3, size=(B, 10)).astype(np.float32))
+    return p
+
+
+@pytest.mark.parametrize("model_type", ["smplh", "smplx"])
+def test_forward_shapes(model_type):
+    model = make_body_model(num_verts=128, model_type=model_type, seed=2)
+    J = model.num_joints
+    assert J == (52 if model_type == "smplh" else 55)
+    p = _params(model_type)
+    out = bm.forward(model, **p)
+    assert out.vertices.shape == (2, 128, 3)
+    assert out.joints_transform.shape == (2, J, 4, 4)
+    assert out.vertices_transform.shape == (2, 128, 4, 4)
+    assert np.isfinite(np.asarray(out.vertices)).all()
+
+
+@pytest.mark.parametrize("model_type", ["smplh", "smplx"])
+def test_hand_pca_moves_hand_joints(model_type):
+    """Changing hand PCA coefficients must change the output (hand joints
+    articulated through the PCA basis, reference body_models.py:723-732)."""
+    model = make_body_model(num_verts=128, model_type=model_type, seed=3)
+    p = _params(model_type)
+    out1 = bm.forward(model, **p)
+    p2 = dict(p, left_hand_pose=p["left_hand_pose"] + 1.0)
+    out2 = bm.forward(model, **p2)
+    assert not np.allclose(np.asarray(out1.vertices), np.asarray(out2.vertices))
+
+
+def test_smplh_warp_pipeline():
+    """prepare_frame + unpose work end-to-end for smplh."""
+    model = make_body_model(num_verts=160, model_type="smplh", seed=4)
+    p = _params("smplh", seed=5)
+    tmpl = _params("smplh", seed=6)
+    tmpl = dict(tmpl, transl=jnp.zeros_like(tmpl["transl"]),
+                betas=p["betas"])
+    ctx = prepare_frame(model, p, tmpl)
+    xyz = ctx.verts[:, ::13]
+    cano, _, valid = unpose(ctx, xyz)
+    assert np.asarray(valid).mean() > 0.8
+    assert np.isfinite(np.asarray(cano)).all()
+
+
+def test_init_body_params_dims():
+    for mt, dims in PARAM_DIMS.items():
+        p = init_body_params(5, mt)
+        assert p["betas"].shape == (1, 10)
+        for k, d in dims.items():
+            expected = (1, d) if k == "betas" else (5, d)
+            assert p[k].shape == expected, (mt, k)
