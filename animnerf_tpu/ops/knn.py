@@ -88,7 +88,12 @@ def knn(points: jax.Array, verts: jax.Array, k: int = 4,
     """Platform dispatcher: fused Pallas kernel on TPU, einsum+top_k
     elsewhere (CPU tests / interpret mode). Identical contract."""
     if _on_tpu():
+        import os
+
         from animnerf_tpu.ops.knn_pallas import knn_pallas
 
-        return knn_pallas(points, verts, k=k)
+        return knn_pallas(
+            points, verts, k=k,
+            tile_n=int(os.environ.get("ANIMNERF_KNN_TILE_N", "1024")),
+            tile_v=int(os.environ.get("ANIMNERF_KNN_TILE_V", "512")))
     return knn_bruteforce(points, verts, k=k, chunk=chunk)

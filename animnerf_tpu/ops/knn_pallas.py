@@ -92,7 +92,7 @@ def _knn_kernel(points_ref, verts_ref, out_d_ref, out_i_ref,
 
 @partial(jax.jit, static_argnames=("k", "tile_n", "tile_v", "interpret"))
 def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
-               tile_n: int = 256, tile_v: int = 512,
+               tile_n: int = 1024, tile_v: int = 512,
                interpret: bool = False):
     """Exact kNN, same contract as ops.knn.knn: (B,N,3),(B,V,3) ->
     dists (B,N,k) ascending + idx (B,N,k)."""

@@ -31,7 +31,7 @@ from animnerf_tpu.smpl.loader import load_model_data
 from animnerf_tpu.smpl.vertex_ids import extra_joint_ids
 
 # Number of skeleton joints driven by LBS (incl. root) per model family.
-NUM_JOINTS = {"smpl": 24, "smplh": 52, "smplx": 55}
+NUM_JOINTS = {"smpl": 24, "smplh": 52, "smplx": 55, "mano": 16, "flame": 5}
 NUM_BODY_JOINTS = {"smpl": 23, "smplh": 21, "smplx": 21}
 
 
@@ -124,14 +124,16 @@ def forward(
     model: BodyModel,
     betas: jax.Array,            # (B, num_betas)
     global_orient: jax.Array,    # (B, 3)
-    body_pose: jax.Array,        # (B, 69) smpl / (B, 63) smplh|smplx
+    body_pose: Optional[jax.Array] = None,  # (B, 69) smpl / (B, 63) smplh|x
     transl: Optional[jax.Array] = None,  # (B, 3)
     left_hand_pose: Optional[jax.Array] = None,   # (B, P) PCA coeffs
     right_hand_pose: Optional[jax.Array] = None,
-    jaw_pose: Optional[jax.Array] = None,         # (B, 3) smplx
+    hand_pose: Optional[jax.Array] = None,        # (B, P) mano
+    jaw_pose: Optional[jax.Array] = None,         # (B, 3) smplx/flame
+    neck_pose: Optional[jax.Array] = None,        # (B, 3) flame
     leye_pose: Optional[jax.Array] = None,
     reye_pose: Optional[jax.Array] = None,
-    expression: Optional[jax.Array] = None,       # (B, 10) smplx
+    expression: Optional[jax.Array] = None,       # (B, 10) smplx/flame
     **_: object,
 ) -> BodyModelOutput:
     """Pose the body model. Pure function of (model, params)."""
@@ -140,6 +142,20 @@ def forward(
 
     if model.model_type == "smpl":
         full_pose = jnp.concatenate([global_orient, body_pose], axis=1)
+    elif model.model_type == "mano":
+        # hand-only rig: global orient + 15 finger joints via PCA
+        hp = hand_pose if hand_pose is not None else left_hand_pose
+        hand = _hand_pose(model, hp, "l") if model.hand_components_l is not None \
+            else hp
+        full_pose = jnp.concatenate([global_orient, hand], axis=1)
+    elif model.model_type == "flame":
+        # head rig: global orient + neck + jaw + two eyes
+        parts = [global_orient,
+                 neck_pose if neck_pose is not None else zeros3,
+                 jaw_pose if jaw_pose is not None else zeros3,
+                 leye_pose if leye_pose is not None else zeros3,
+                 reye_pose if reye_pose is not None else zeros3]
+        full_pose = jnp.concatenate(parts, axis=1)
     elif model.model_type == "smplh":
         lh = _hand_pose(model, left_hand_pose, "l")
         rh = _hand_pose(model, right_hand_pose, "r")

@@ -126,6 +126,38 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
     logger = MetricLogger(cfg.logs_dir, cfg.exp_name)
     key = jax.random.PRNGKey(cfg.seed + 1)
 
+    # validation dataset: one full frame rendered per epoch, like the
+    # reference's per-epoch PL validation (train.py:350-385)
+    val_ds = AnimNeRFDataset(
+        cfg.root_dir, mode="val", img_wh=tuple(cfg.img_wh),
+        frame_start_ID=cfg.val.frame_start_ID,
+        frame_end_ID=cfg.val.frame_end_ID, frame_skip=cfg.val.frame_skip,
+        cam_IDs=cfg.val.cam_IDs, model_type=cfg.model_type,
+        white_bkgd=cfg.white_bkgd,
+        frame_ids_index={fid: i for i, fid in enumerate(cfg.frame_IDs)},
+    )
+    eval_step = make_sharded_eval_step(system, mesh)
+
+    def run_validation(epoch: int, params):
+        from animnerf_tpu.models.evaluator import psnr as psnr_np, ssim
+
+        batch = {k: np.asarray(v)[None] for k, v in val_ds[0].items()}
+        out = eval_step(params, batch)
+        rgb_key = "rgbs_fine" if "rgbs_fine" in out else "rgbs"
+        d_key = "depths_fine" if "depths_fine" in out else "depths"
+        W, H = cfg.img_wh
+        pred = np.asarray(out[rgb_key]).reshape(H, W, 3)
+        gt = batch["rgbs"].reshape(H, W, 3)
+        metrics = {"psnr": psnr_np(pred, gt), "ssim": ssim(pred, gt)}
+        logger.log(step, metrics, prefix="val")
+        if epoch % max(cfg.val.vis_freq, 1) == 0:
+            from animnerf_tpu.utils.vis import save_triptych
+
+            depth = np.asarray(out[d_key]).reshape(H, W)
+            save_triptych(os.path.join(
+                logger.dir, f"val_epoch{epoch:04d}.png"), gt, pred, depth)
+        return metrics
+
     max_steps = cfg.train.max_steps
     log_every = cfg.train.get("log_every", 50)
     step = start_step
@@ -155,6 +187,12 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
         # train/psnr, train.py:441-442)
         m = {k: float(v) for k, v in metrics.items()}
         host_state = jax.device_get(state)
+        try:
+            val_m = run_validation(epoch, host_state.params)
+            print(f"epoch {epoch} val psnr {val_m['psnr']:.2f} "
+                  f"ssim {val_m['ssim']:.4f}", flush=True)
+        except Exception as e:  # val data optional (e.g. missing frames)
+            print(f"epoch {epoch} validation skipped: {e}", flush=True)
         manager.save(host_state.params, step, m,
                      extra_meta={"epoch": epoch, "cfg": dict_flat(cfg)})
         # 'last' carries the full train state for resume

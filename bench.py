@@ -58,17 +58,24 @@ def main() -> None:
         "bg_points": rng_np.normal(scale=0.8, size=(B, 128, 3)).astype(np.float32),
         **{k + "_template": v for k, v in tmpl.items()},
     }
-    batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
 
+    # distinct ray batches per timed step: the runtime dedups repeated
+    # executions with identical inputs, which would fake the timing
+    n_steps = 20
+    batches = []
+    for s in range(n_steps + 1):
+        b = dict(batch)
+        b["rays"] = _rays(B, n_rays, seed=s)
+        batches.append(jax.device_put(b))
+
     # compile + warmup
-    state, metrics = train_step(state, batch, key)
+    state, metrics = train_step(state, batches[-1], key)
     jax.block_until_ready(metrics["loss"])
 
-    n_steps = 20
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = train_step(state, batch, key)
+    for s in range(n_steps):
+        state, metrics = train_step(state, batches[s], key)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
