@@ -91,12 +91,23 @@ class Evaluator:
     """Bundles the three metrics; mirrors reference Evaluator.__call__."""
 
     def __init__(self, use_lpips: bool = True):
-        self.lpips: Optional[LPIPSTorch] = None
+        self.lpips = None
         if use_lpips:
-            try:
-                self.lpips = LPIPSTorch()
-            except Exception:
-                self.lpips = None  # offline / lpips not installed
+            # priority: converted JAX weights (offline-friendly), then the
+            # torch lpips package
+            import os
+
+            weights = os.environ.get("ANIMNERF_LPIPS_WEIGHTS",
+                                     "assets/lpips_alex.npz")
+            if os.path.exists(weights):
+                from animnerf_tpu.models.lpips_jax import LPIPSJax
+
+                self.lpips = LPIPSJax(weights)
+            else:
+                try:
+                    self.lpips = LPIPSTorch()
+                except Exception:
+                    self.lpips = None  # offline / lpips not installed
 
     def __call__(self, img_pred: np.ndarray, img_gt: np.ndarray) -> dict:
         out = {

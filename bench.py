@@ -39,7 +39,11 @@ def main() -> None:
 
     system = AnimNeRFSystem(cfg, system.body_model)
 
-    B, n_rays = 16, 1024  # 16,384 rays/step — the reference workload
+    import os
+
+    B = int(os.environ.get("ANIMNERF_BENCH_B", "16"))
+    n_rays = int(os.environ.get("ANIMNERF_BENCH_RAYS", "1024"))
+    # default 16 x 1024 = 16,384 rays/step — the reference workload
     rng = jax.random.PRNGKey(0)
     body_params = init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1))
     state = system.init_state(rng, body_params, steps_per_epoch=100)

@@ -193,3 +193,55 @@ def test_obj_roundtrip(tmp_path):
     v, f = load_obj(p)
     np.testing.assert_allclose(v, verts, atol=1e-5)
     np.testing.assert_array_equal(f, faces)
+
+
+def test_lpips_jax_properties(tmp_path):
+    """LPIPS-alex architecture sanity with random weights: zero for identical
+    images, positive and symmetric for different ones."""
+    import numpy as np
+
+    from animnerf_tpu.models.lpips_jax import lpips_distance, random_params
+
+    params = random_params(0)
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    b = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    d_aa = float(lpips_distance(params, a, a))
+    d_ab = float(lpips_distance(params, a, b))
+    d_ba = float(lpips_distance(params, b, a))
+    assert d_aa == pytest.approx(0.0, abs=1e-6)
+    assert d_ab > 0
+    assert d_ab == pytest.approx(d_ba, rel=1e-5)
+
+
+def test_lpips_jax_weight_converter(tmp_path):
+    """Torch->npz conversion roundtrip with synthetic torch checkpoints."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    from animnerf_tpu.models.lpips_jax import (
+        LPIPSJax,
+        convert_torch_lpips,
+    )
+
+    alex_sd, cin = {}, 3
+    torch_idx = [0, 3, 6, 8, 10]
+    chans = [64, 192, 384, 256, 256]
+    kerns = [11, 5, 3, 3, 3]
+    for ti, co, kk in zip(torch_idx, chans, kerns):
+        alex_sd[f"features.{ti}.weight"] = torch.randn(co, cin, kk, kk) * 0.02
+        alex_sd[f"features.{ti}.bias"] = torch.zeros(co)
+        cin = co
+    lin_sd = {f"lin{i}.model.1.weight": torch.rand(1, c, 1, 1) * 0.1
+              for i, c in enumerate(chans)}
+    ap = str(tmp_path / "alexnet.pth")
+    lp = str(tmp_path / "alex_lin.pth")
+    torch.save(alex_sd, ap)
+    torch.save(lin_sd, lp)
+
+    out = convert_torch_lpips(ap, lp, str(tmp_path / "lpips.npz"))
+    metric = LPIPSJax(out)
+    rng = np.random.default_rng(1)
+    a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    assert metric(a, a) == pytest.approx(0.0, abs=1e-6)
+    assert metric(a, 1.0 - a) > 0
