@@ -12,13 +12,23 @@ from __future__ import annotations
 
 
 def main(argv=None) -> None:
+    import os
+
     from animnerf_tpu.config import get_cfg
     from animnerf_tpu.training.loop import evaluate, fit
 
     cfg = get_cfg(argv)
+
+    # multi-host pods (DCN): same sharded program, initialised per host
+    # (SURVEY.md §2.8 — replaces PL's ddp/NCCL wiring)
+    if os.environ.get("ANIMNERF_MULTIHOST"):
+        import jax
+
+        jax.distributed.initialize()
     print(f"[animnerf_tpu] training {cfg.exp_name} "
           f"({cfg.num_frames} frames @ {tuple(cfg.img_wh)})", flush=True)
-    ckpt_dir = fit(cfg)
+    profile = bool(os.environ.get("ANIMNERF_PROFILE"))
+    ckpt_dir = fit(cfg, profile=profile)
     print(f"[animnerf_tpu] done; checkpoints in {ckpt_dir}", flush=True)
 
     # post-fit test pass, like reference trainer.test (train.py:461)

@@ -1,0 +1,128 @@
+"""In-process CLI regression tests on a tiny synthetic dataset (CPU)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from animnerf_tpu.config import finalize, get_default_config
+from animnerf_tpu.data.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train 3 tiny steps through the real fit() and return (cfg, ckpt)."""
+    from animnerf_tpu.training.loop import fit
+
+    tmp = tmp_path_factory.mktemp("cli")
+    root = str(tmp / "data")
+    write_synthetic_dataset(root, num_frames=2, img_wh=(20, 20),
+                            num_verts=160, num_joints=8, seed=5)
+    cfg = get_default_config()
+    cfg.root_dir = root
+    cfg.model_path = os.path.join(root, "models")
+    cfg.gender = "neutral"
+    cfg.exp_name = "cli-tiny"
+    cfg.img_wh = (20, 20)
+    cfg.n_samples = 6
+    cfg.n_importance = 3
+    cfg.pose_dim = 21
+    cfg.checkpoints_dir = str(tmp / "ckpts")
+    cfg.logs_dir = str(tmp / "logs")
+    cfg.outputs_dir = str(tmp / "out")
+    for split, (s, e) in (("train", (1, 2)), ("val", (1, 1)), ("test", (2, 2))):
+        cfg[split].frame_start_ID = s
+        cfg[split].frame_end_ID = e
+        cfg[split].frame_skip = 1
+        cfg[split].cam_IDs = [0]
+    cfg.train.batch_size = 2
+    cfg.train.subsamplesize = 5
+    cfg.train.max_epochs = 1
+    cfg.train.max_steps = 3
+    cfg.train.log_every = 1
+    cfg = finalize(cfg)
+    ckpt_dir = fit(cfg)
+    return cfg, os.path.join(ckpt_dir, "last"), str(tmp)
+
+
+def _write_cfg_yaml(cfg, path):
+    import yaml
+
+    def plain(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = plain(v)
+            elif isinstance(v, tuple):
+                out[k] = list(v)
+            else:
+                out[k] = v
+        return out
+
+    with open(path, "w") as f:
+        yaml.safe_dump(plain(cfg), f)
+
+
+def test_cli_novel_view(trained):
+    cfg, ckpt, tmp = trained
+    from animnerf_tpu.cli.novel_view import main
+
+    main(["--ckpt_path", ckpt, "--n_views", "2", "--betas_2th", "0.3",
+          "--frame_id", "1"])
+    out = os.path.join(cfg.outputs_dir, cfg.exp_name,
+                       "novel_view_1_optim_pose_0")
+    assert os.path.exists(os.path.join(out, "novel_view.gif"))
+    assert os.path.exists(os.path.join(out, "images", "000001.png"))
+
+
+def test_cli_novel_view_template(trained):
+    cfg, ckpt, tmp = trained
+    from animnerf_tpu.cli.novel_view import main
+
+    main(["--ckpt_path", ckpt, "--n_views", "1", "--template"])
+    out = os.path.join(cfg.outputs_dir, cfg.exp_name,
+                       "novel_view_T_optim_pose_0")
+    assert os.path.exists(os.path.join(out, "novel_view.gif"))
+
+
+def test_cli_extract_mesh(trained):
+    cfg, ckpt, tmp = trained
+    from animnerf_tpu.cli.extract_mesh import main
+
+    main(["--ckpt_path", ckpt, "--N_grid", "24", "--sigma_threshold", "2"])
+    out = os.path.join(cfg.outputs_dir, cfg.exp_name, "mesh_1_optim_pose")
+    assert os.path.exists(os.path.join(out, "mesh.obj"))
+    assert os.path.exists(os.path.join(out, "smpl.obj"))
+
+
+def test_cli_novel_pose(trained):
+    cfg, ckpt, tmp = trained
+    from animnerf_tpu.cli.novel_pose import main
+
+    actions = os.path.join(tmp, "mocap")
+    os.makedirs(os.path.join(actions, "0007"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    F = 2
+    with open(os.path.join(actions, "0007", "result.pkl"), "wb") as f:
+        pickle.dump({
+            "anim_len": F,
+            "smpl_array": rng.normal(scale=0.1, size=(F, 72)).astype(np.float32),
+            "cam_array": rng.normal(scale=0.1, size=(F, 4)).astype(np.float32),
+        }, f)
+
+    main(["--ckpt_path", ckpt, "--actions_dir", actions,
+          "--action_type", "0007", "--frame_skip", "1"])
+    out = os.path.join(cfg.outputs_dir, cfg.exp_name, "novel_pose_0007")
+    assert os.path.exists(os.path.join(out, "novel_pose.gif"))
+    assert os.path.exists(os.path.join(out, "smpls_vis", "000000.png"))
+
+
+def test_cli_test_split(trained):
+    cfg, ckpt, tmp = trained
+    from animnerf_tpu.training.loop import evaluate
+
+    means = evaluate(cfg, ckpt, split="test", save_vis=True,
+                     out_dir=os.path.join(cfg.outputs_dir, "vis"))
+    assert np.isfinite(means["psnr"]) and np.isfinite(means["ssim"])
+    assert os.path.exists(os.path.join(cfg.outputs_dir, "vis", "000002.png"))
