@@ -87,6 +87,7 @@ class AnimNeRFSystem:
             dis_threshold=c.dis_threshold,
             query_inside=c.query_inside,
             compute_dtype=c.get("compute_dtype", "float32"),
+            remat=bool(c.get("remat", True)),
         )
         self.scene = AnimNeRFModel(self.scene_cfg)
         self.renderer_cfg = RendererConfig(

@@ -32,18 +32,20 @@ def main() -> None:
     from __graft_entry__ import _flagship_system, _rays
     from animnerf_tpu.models.body_params import init_body_params
 
+    import os
+
     cfg, system, params_for, num_joints = _flagship_system(tiny=False)
-    # the MLP fast path runs in bf16 on TPU (f32 params/geometry)
+    B = int(os.environ.get("ANIMNERF_BENCH_B", "16"))
+    n_rays = int(os.environ.get("ANIMNERF_BENCH_RAYS", "1024"))
+    # default 16 x 1024 = 16,384 rays/step — the reference workload.
+    # the MLP fast path runs in bf16 on TPU (f32 params/geometry); bf16
+    # activations fit un-rematerialised at this size (+6% throughput),
+    # larger ray batches need remat to stay inside 16G HBM.
     cfg.compute_dtype = "bfloat16"
+    cfg.remat = B * n_rays > 16384
     from animnerf_tpu.training.system import AnimNeRFSystem
 
     system = AnimNeRFSystem(cfg, system.body_model)
-
-    import os
-
-    B = int(os.environ.get("ANIMNERF_BENCH_B", "16"))
-    n_rays = int(os.environ.get("ANIMNERF_BENCH_RAYS", "1024"))
-    # default 16 x 1024 = 16,384 rays/step — the reference workload
     rng = jax.random.PRNGKey(0)
     body_params = init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1))
     state = system.init_state(rng, body_params, steps_per_epoch=100)
