@@ -177,6 +177,9 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
             if step % log_every == 0 or step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["rays_per_sec"] = rays_per_step * step / (time.time() - t_start)
+                lr_fn = getattr(system, "_lr_schedule", None)
+                if lr_fn is not None:
+                    m["lr"] = float(lr_fn(step))
                 logger.log(step, m)
                 print(f"epoch {epoch} step {step} "
                       f"loss {m['loss']:.4f} psnr {m['psnr']:.2f} "

@@ -116,15 +116,34 @@ class AnimNeRFSystem:
         c = self.cfg.train
 
         def schedule(base_lr):
+            """Per-epoch LR schedules (reference utils/__init__.py:46-58):
+            poly (1-e/E)^exp, steplr multi-step decay, cosine annealing."""
+            stype = c.scheduler.get("type", "poly")
+
             def fn(step):
                 epoch = step // max(steps_per_epoch, 1)
-                frac = 1.0 - epoch / self.cfg.train.max_epochs
+                if stype == "steplr":
+                    decay_steps = jnp.asarray(
+                        list(c.scheduler.get("decay_step", [20])))
+                    n_decays = jnp.sum(epoch >= decay_steps)
+                    return base_lr * c.scheduler.get("decay_gamma", 0.1) ** n_decays
+                if stype == "cosine":
+                    frac = jnp.clip(epoch / c.max_epochs, 0.0, 1.0)
+                    eps = 1e-8
+                    return eps + (base_lr - eps) * 0.5 * (
+                        1.0 + jnp.cos(jnp.pi * frac))
+                # poly
+                frac = 1.0 - epoch / c.max_epochs
                 return base_lr * jnp.maximum(frac, 0.0) ** c.scheduler.poly_exp
+
             return fn
 
         def adam(base_lr):
+            wd = float(c.optimizer.get("weight_decay", 0) or 0)
             if c.optimizer.type == "sgd":
                 return optax.sgd(schedule(base_lr), momentum=c.optimizer.momentum)
+            if wd > 0:
+                return optax.adamw(schedule(base_lr), eps=1e-8, weight_decay=wd)
             return optax.adam(schedule(base_lr), eps=1e-8)
 
         transforms = {
@@ -133,6 +152,8 @@ class AnimNeRFSystem:
             "body": (adam(c.lr * 0.5) if self.cfg.optim_body_params
                      else optax.set_to_zero()),
         }
+
+        self._lr_schedule = schedule(c.lr)  # exposed for logging (train/lr)
 
         def label_fn(params):
             labels = {"anim_nerf": jax.tree.map(lambda _: "field",

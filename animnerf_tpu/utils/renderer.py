@@ -74,7 +74,10 @@ class SoftwareRenderer:
                angle: float = 0.0, axis=(0, 1, 0),
                color=(0.65, 0.74, 0.86)) -> np.ndarray:
         """Rasterize; returns (H, W, 3) uint8 RGB. `angle`/`axis` rotate the
-        mesh about its centroid (turntable, reference renderer.py render)."""
+        mesh about its centroid (turntable, reference renderer.py render).
+
+        Pixel fill runs in the C++ kernel (native/rasterizer.cpp) when the
+        toolchain is available, else the vectorized numpy path below."""
         v = np.asarray(vertices, np.float64)
         f = np.asarray(faces, np.int64)
         if angle != 0.0:
@@ -104,6 +107,11 @@ class SoftwareRenderer:
         shade = 0.25 + np.clip(n @ self.lights.T, 0, 1) @ self.light_intensity
         shade = np.clip(shade, 0, 1)
         base = np.asarray(color)
+
+        try:
+            return self._fill_native(tri_uv, tri_z, shade, base, img, zbuf)
+        except Exception:
+            pass  # toolchain unavailable: numpy path
 
         order = np.argsort(-tri_z.mean(1))  # far-to-near helps early z-fail
         Hh, Ww = self.H, self.W
@@ -139,4 +147,30 @@ class SoftwareRenderer:
             win_z[visible] = zi[visible]
             col = np.clip(base * shade[fi] * 255, 0, 255).astype(np.uint8)
             img[iy0:iy1, ix0:ix1][visible] = col
+        return img
+
+    def _fill_native(self, tri_uv, tri_z, shade, base, img, zbuf):
+        import ctypes
+
+        from animnerf_tpu.utils.native_build import load_library
+
+        lib = load_library("rasterizer")
+        lib.raster_fill.restype = ctypes.c_int
+
+        colors = np.clip(base[None] * shade[:, None] * 255, 0,
+                         255).astype(np.uint8)
+        uv = np.ascontiguousarray(tri_uv, np.float32)
+        zz = np.ascontiguousarray(tri_z, np.float32)
+        zb = np.ascontiguousarray(zbuf, np.float32)
+        colors = np.ascontiguousarray(colors)
+        rc = lib.raster_fill(
+            uv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            zz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            colors.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.c_longlong(len(zz)), ctypes.c_int(self.H),
+            ctypes.c_int(self.W),
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            zb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise RuntimeError(f"raster_fill rc={rc}")
         return img

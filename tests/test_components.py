@@ -245,3 +245,29 @@ def test_lpips_jax_weight_converter(tmp_path):
     a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
     assert metric(a, a) == pytest.approx(0.0, abs=1e-6)
     assert metric(a, 1.0 - a) > 0
+
+
+def test_rasterizer_native_matches_numpy():
+    """The C++ pixel-fill and the numpy path draw the same image."""
+    from animnerf_tpu.utils.renderer import SoftwareRenderer
+
+    rng = np.random.default_rng(2)
+    verts = rng.normal(scale=0.4, size=(60, 3))
+    verts[:, 2] += 2.5
+    faces = rng.integers(0, 60, size=(40, 3)).astype(np.int64)
+
+    r = SoftwareRenderer((48, 48), bg_color=(10, 20, 30))
+    r.set_camera(48, 48, 24, 24, np.eye(3), np.zeros(3))
+
+    img_native = r.render(verts, faces)
+
+    orig = SoftwareRenderer._fill_native
+    SoftwareRenderer._fill_native = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("force numpy"))
+    try:
+        img_numpy = r.render(verts, faces)
+    finally:
+        SoftwareRenderer._fill_native = orig
+
+    frac_diff = (img_native != img_numpy).any(-1).mean()
+    assert frac_diff < 0.02, f"native/numpy raster mismatch: {frac_diff}"

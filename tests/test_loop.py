@@ -165,3 +165,32 @@ def test_use_deformation_path(ds_root, tmp_path):
     batch = next(Loader(ds, batch_size=2, seed=0).epoch(0))
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_scheduler_variants(ds_root, tmp_path):
+    """steplr and cosine schedules (reference utils/__init__.py:46-58)."""
+    from animnerf_tpu.training.loop import build_system
+
+    cfg = _cfg(ds_root, str(tmp_path))
+    cfg.train.max_epochs = 10
+    cfg.train.scheduler.type = "steplr"
+    cfg.train.scheduler.decay_step = [2, 5]
+    cfg.train.scheduler.decay_gamma = 0.1
+    system = build_system(cfg)
+    system.make_optimizer(steps_per_epoch=10)
+    lr = system._lr_schedule
+    assert float(lr(0)) == pytest.approx(cfg.train.lr)
+    assert float(lr(25)) == pytest.approx(cfg.train.lr * 0.1)   # epoch 2
+    assert float(lr(55)) == pytest.approx(cfg.train.lr * 0.01)  # epoch 5
+
+    cfg.train.scheduler.type = "cosine"
+    system = build_system(cfg)
+    system.make_optimizer(steps_per_epoch=10)
+    lr = system._lr_schedule
+    assert float(lr(0)) == pytest.approx(cfg.train.lr, rel=1e-5)
+    assert float(lr(99)) < 0.1 * cfg.train.lr
+
+    cfg.train.scheduler.type = "poly"
+    cfg.train.optimizer.weight_decay = 1e-4
+    system = build_system(cfg)
+    tx = system.make_optimizer(steps_per_epoch=10)  # adamw path builds
