@@ -32,8 +32,6 @@ def main(argv=None) -> None:
     print(f"[animnerf_tpu] done; checkpoints in {ckpt_dir}", flush=True)
 
     # post-fit test pass, like reference trainer.test (train.py:461)
-    import os
-
     last = os.path.join(ckpt_dir, "last")
     if os.path.exists(last):
         evaluate(cfg, last, split="test")
