@@ -65,12 +65,34 @@ class Renderer:
         return render_rays_split(self.system.renderer_cfg, warp_fn, field_fn,
                                  rays_root, perturb=0.0)
 
+    # Per-slab ray cap for single-device rendering: 32k rays x 96 samples
+    # of warp/MLP tensors fit 16G HBM with headroom (64k measured 1G over).
+    # Sharded multi-chip rendering splits across chips instead, and a whole
+    # 512^2 frame is just 8 slabs here (vs the reference's 128 chunks of
+    # 2048, novel_view.py:94-98).
+    max_rays_per_call: int = 32768
+
     def render_frame(self, params, body_params, body_tmpl, rays: np.ndarray,
                      P: Optional[np.ndarray] = None,
                      img_wh: Optional[tuple[int, int]] = None):
         """rays (R, 8) -> dict with img (H,W,3), mask (H,W), depth (H,W)."""
         if P is None:
             P = np.eye(4, dtype=np.float32)
+        n = rays.shape[0]
+        cap = self.max_rays_per_call
+        if self.mesh is None and n > cap:
+            parts = [self.render_frame(params, body_params, body_tmpl,
+                                       rays[i:i + cap], P)
+                     for i in range(0, n, cap)]
+            img = np.concatenate([p[0] for p in parts])
+            mask = np.concatenate([p[1] for p in parts])
+            depth = np.concatenate([p[2] for p in parts])
+            if img_wh is not None:
+                W, H = img_wh
+                return img.reshape(H, W, 3), mask.reshape(H, W), \
+                    depth.reshape(H, W)
+            return img, mask, depth
+
         rays_b = jnp.asarray(rays)[None]
         if self.mesh is not None:
             from animnerf_tpu.parallel.mesh import ray_sharding

@@ -138,11 +138,24 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
     )
     eval_step = make_sharded_eval_step(system, mesh)
 
+    val_slab = 32768 * max(int(mesh.devices.size), 1)
+
     def run_validation(epoch: int, params):
         from animnerf_tpu.models.evaluator import psnr as psnr_np, ssim
 
         batch = {k: np.asarray(v)[None] for k, v in val_ds[0].items()}
-        out = eval_step(params, batch)
+        n = batch["rays"].shape[1]
+        if n <= val_slab:
+            out = eval_step(params, batch)
+        else:  # HBM ceiling: slab the ray axis (512^2 frames)
+            outs = []
+            for i in range(0, n, val_slab):
+                sub = dict(batch)
+                for k in ("rays", "rgbs", "alphas"):
+                    sub[k] = batch[k][:, i:i + val_slab]
+                outs.append(jax.device_get(eval_step(params, sub)))
+            out = {k: np.concatenate([o[k] for o in outs], axis=1)
+                   for k in outs[0]}
         rgb_key = "rgbs_fine" if "rgbs_fine" in out else "rgbs"
         d_key = "depths_fine" if "depths_fine" in out else "depths"
         W, H = cfg.img_wh
@@ -244,11 +257,28 @@ def evaluate(cfg: CfgNode, ckpt_path: str, split: str = "test",
     eval_step = make_sharded_eval_step(system, mesh)
     evaluator = Evaluator()
 
+    # HBM ceiling: render at most ~32k rays per device per program
+    # (see render/inference.py max_rays_per_call)
+    slab = 32768 * max(int(mesh.devices.size), 1)
+
+    def run_frame(batch):
+        n = batch["rays"].shape[1]
+        if n <= slab:
+            return eval_step(params, batch)
+        outs = []
+        for i in range(0, n, slab):
+            sub = dict(batch)
+            for k in ("rays", "rgbs", "alphas"):
+                sub[k] = batch[k][:, i:i + slab]
+            outs.append(jax.device_get(eval_step(params, sub)))
+        return {k: np.concatenate([o[k] for o in outs], axis=1)
+                for k in outs[0]}
+
     W, H = cfg.img_wh
     scores = []
     loader = Loader(ds, batch_size=1, shuffle=False)
     for i, batch in enumerate(loader.epoch(0)):
-        out = eval_step(params, batch)
+        out = run_frame(batch)
         rgb_key = "rgbs_fine" if "rgbs_fine" in out else "rgbs"
         pred = np.asarray(out[rgb_key]).reshape(H, W, 3)
         gt = batch["rgbs"].reshape(H, W, 3)

@@ -1,0 +1,68 @@
+"""Secondary benchmark: 512x512 novel-view rendering FPS (BASELINE.md metric).
+
+Flagship model (V=6890 synthetic SMPL, 64+96 samples/ray, coarse+fine 8x256
+MLPs, bf16 fast path) on one chip; the reference renders the same frame as
+128 sequential 2048-ray chunks through torch.
+
+Prints one JSON line {"metric": "novel_view_512_fps", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_system
+    from animnerf_tpu.models.body_params import init_body_params
+    from animnerf_tpu.render.inference import Renderer, turntable_rotation
+    from animnerf_tpu.training.system import AnimNeRFSystem
+
+    cfg, system, params_for, num_joints = _flagship_system(tiny=False)
+    cfg.compute_dtype = "bfloat16"
+    cfg.remat = False
+    system = AnimNeRFSystem(cfg, system.body_model)
+
+    params = system.init_params(
+        jax.random.PRNGKey(0),
+        init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1)))
+    body_params = params_for(1, 1)
+    tmpl = params_for(2, 1)
+    tmpl = dict(tmpl, transl=jnp.zeros_like(tmpl["transl"]))
+
+    H = W = 512
+    f = 1.2 * W
+    from animnerf_tpu.ops.ray_utils import camera_to_c2w, gen_rays
+
+    c2w = camera_to_c2w(np.eye(3), np.array([0.0, 0.0, 3.0]))
+    rays = gen_rays(c2w, H, W, [f, f], 0.1, 10.0).reshape(-1, 8)
+
+    renderer = Renderer(system)
+    # warmup/compile
+    img, _, _ = renderer.render_frame(params, body_params, tmpl, rays,
+                                      turntable_rotation(0, 8), (W, H))
+
+    n_views = 5
+    t0 = time.perf_counter()
+    for i in range(1, n_views + 1):
+        img, _, _ = renderer.render_frame(params, body_params, tmpl, rays,
+                                          turntable_rotation(i, 64), (W, H))
+    dt = time.perf_counter() - t0
+
+    fps = n_views / dt
+    print(json.dumps({
+        "metric": "novel_view_512_fps",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
