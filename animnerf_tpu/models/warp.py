@@ -156,6 +156,7 @@ def blend_neighbour_transforms(
     k: int = 4,
     weight_std: float = 0.1,
     conf_gate: float = 0.9,
+    far_skip: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """kNN against the observed verts; confidence-gated exp(-d) blending of
     the per-vertex obs->canonical transforms (reference anim_nerf.py:153-178).
@@ -167,7 +168,7 @@ def blend_neighbour_transforms(
     B, N = xyz.shape[:2]
     V, J = ctx.lbs_weights.shape
 
-    dists, idx = knn(xyz, ctx.verts, k=k)  # (B, N, k) each
+    dists, idx = knn(xyz, ctx.verts, k=k, far_skip=far_skip)
     dists = jax.lax.stop_gradient(dists)
 
     # ONE fused gather of [lbs weights | flat transform] per neighbour, and
@@ -211,7 +212,16 @@ def unpose(
     Returns (xyz_canonical, viewdir, valid) with valid in {0.,1.}
     (reference anim_nerf.py:180-192).
     """
-    dist, T = blend_neighbour_transforms(ctx, xyz, k=k, weight_std=weight_std)
+    # Experimental (default off, ANIMNERF_KNN_FAR_SKIP=1): skip all-far
+    # point tiles in the kNN kernel — pipeline-exact because such points
+    # are masked to sigma=-1e5 downstream. Measured neutral on v5e (pl.when
+    # may predicate rather than branch; see PERF.md).
+    import os
+
+    fs = dis_threshold if os.environ.get("ANIMNERF_KNN_FAR_SKIP") else 0.0
+    dist, T = blend_neighbour_transforms(ctx, xyz, k=k,
+                                         weight_std=weight_std,
+                                         far_skip=fs)
     valid = (dist < dis_threshold).astype(xyz.dtype)
     xyz_cano = transform_points(T, xyz)
     if unpose_view and viewdir is not None:

@@ -84,9 +84,12 @@ def _on_tpu() -> bool:
 
 
 def knn(points: jax.Array, verts: jax.Array, k: int = 4,
-        chunk: int = 4096) -> tuple[jax.Array, jax.Array]:
+        chunk: int = 4096, far_skip: float = 0.0) -> tuple[jax.Array, jax.Array]:
     """Platform dispatcher: fused Pallas kernel on TPU, einsum+top_k
-    elsewhere (CPU tests / interpret mode). Identical contract."""
+    elsewhere (CPU tests / interpret mode). Identical contract; `far_skip`
+    enables the pipeline-exact background skip on the TPU path (callers
+    pass dis_threshold — results for points farther than it from every
+    vertex are approximate-but-equivalent, see knn_pallas)."""
     if _on_tpu():
         import os
 
@@ -95,5 +98,6 @@ def knn(points: jax.Array, verts: jax.Array, k: int = 4,
         return knn_pallas(
             points, verts, k=k,
             tile_n=int(os.environ.get("ANIMNERF_KNN_TILE_N", "1024")),
-            tile_v=int(os.environ.get("ANIMNERF_KNN_TILE_V", "512")))
+            tile_v=int(os.environ.get("ANIMNERF_KNN_TILE_V", "512")),
+            far_skip=far_skip)
     return knn_bruteforce(points, verts, k=k, chunk=chunk)

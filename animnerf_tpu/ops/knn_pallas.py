@@ -32,9 +32,26 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e9  # padding coordinate: d2 ~ 1e18, always loses
 
 
-def _knn_kernel(points_ref, verts_ref, out_d_ref, out_i_ref,
-                top_d, top_i, *, k: int, tile_v: int, n_vert_tiles: int):
-    """Grid: (B, N/TILE_N). points (1, 3, TILE_N); verts (1, 3, Vp)."""
+def _knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref, out_i_ref,
+                top_d, top_i, *, k: int, tile_v: int, n_vert_tiles: int,
+                cull: bool, far2: float):
+    """Grid: (B, N/TILE_N). points (1, 3, TILE_N); verts (1, 3, Vp);
+    vbox (1, n_vt, 8) per-vertex-tile AABBs (xyz min | xyz max | pad).
+
+    With `cull`, a vertex tile is skipped when the squared distance between
+    its AABB and the point tile's AABB provably exceeds every point's
+    current 4th-best — exact, since skipping can then never change the
+    result. Ray samples are spatially coherent (consecutive samples of
+    neighbouring rays), so background-ray tiles skip most of the body.
+
+    With `far2 > 0` (= dis_threshold^2), a point tile whose every point is
+    provably farther than dis_threshold from ALL vertices skips the whole
+    sweep: those points are invalid downstream (sigma filled with -1e5,
+    anim_nerf.py:305) so their exact neighbours are irrelevant — the kernel
+    returns the per-point lower bound (> dis_threshold) and index 0, and the
+    rendered output (values AND gradients) is bit-equivalent. Most rays of a
+    real frame are background, so this is the big win for full-frame
+    rendering."""
     tile_n = points_ref.shape[-1]
     px = points_ref[0, 0, :].reshape(1, tile_n)
     py = points_ref[0, 1, :].reshape(1, tile_n)
@@ -45,7 +62,25 @@ def _knn_kernel(points_ref, verts_ref, out_d_ref, out_i_ref,
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (k, tile_n), 0)
 
-    def process_tile(t, _):
+    if cull:
+        p_lo = (jnp.min(px), jnp.min(py), jnp.min(pz))
+        p_hi = (jnp.max(px), jnp.max(py), jnp.max(pz))
+
+    if far2 > 0:
+        # per-point lower bound on the distance to EVERY vertex: min over
+        # vertex tiles of the point-to-AABB distance (a dozen VPU ops/tile)
+        g_lb2 = jnp.full((1, tile_n), jnp.inf, dtype=jnp.float32)
+        for t in range(n_vert_tiles):
+            lb2 = jnp.zeros((1, tile_n), dtype=jnp.float32)
+            for d, p in enumerate((px, py, pz)):
+                gap = jnp.maximum(
+                    jnp.maximum(vbox_ref[0, t, d] - p,
+                                p - vbox_ref[0, t, 3 + d]), 0.0)
+                lb2 = lb2 + gap * gap
+            g_lb2 = jnp.minimum(g_lb2, lb2)
+        all_far = jnp.min(g_lb2) > far2
+
+    def tile_body(t):
         off = t * tile_v
         vx = verts_ref[0, 0, pl.ds(off, tile_v)].reshape(tile_v, 1)
         vy = verts_ref[0, 1, pl.ds(off, tile_v)].reshape(tile_v, 1)
@@ -64,9 +99,42 @@ def _knn_kernel(points_ref, verts_ref, out_d_ref, out_i_ref,
             top_i[:] = jnp.where(repl, (am + off)[None, :], top_i[:])
             # knock the extracted minimum out of this tile
             d2 = jnp.where(col == am[None, :], jnp.inf, d2)
+
+    def process_tile(t, _):
+        if not cull:
+            tile_body(t)
+            return 0
+
+        # AABB-to-AABB squared distance lower bound
+        lb2 = jnp.float32(0.0)
+        for d in range(3):
+            gap = jnp.maximum(
+                jnp.maximum(p_lo[d] - vbox_ref[0, t, 3 + d], 0.0),
+                jnp.maximum(vbox_ref[0, t, d] - p_hi[d], 0.0))
+            lb2 = lb2 + gap * gap
+        worst = jnp.max(top_d[:])  # inf until every slot is real (tile 0)
+
+        @pl.when(lb2 <= worst)
+        def _():
+            tile_body(t)
+
         return 0
 
-    jax.lax.fori_loop(0, n_vert_tiles, process_tile, 0)
+    def full_sweep():
+        jax.lax.fori_loop(0, n_vert_tiles, process_tile, 0)
+
+    if far2 > 0:
+        @pl.when(all_far)
+        def _():
+            # every point provably beyond dis_threshold: report the bound
+            top_d[:] = jnp.broadcast_to(g_lb2, (k, tile_n))
+            # top_i stays 0
+
+        @pl.when(jnp.logical_not(all_far))
+        def _():
+            full_sweep()
+    else:
+        full_sweep()
 
     # ascending sort of the k winners (compare-swap network rows)
     def cswap(a, b):
@@ -90,12 +158,19 @@ def _knn_kernel(points_ref, verts_ref, out_d_ref, out_i_ref,
     out_i_ref[0] = top_i[:]
 
 
-@partial(jax.jit, static_argnames=("k", "tile_n", "tile_v", "interpret"))
+@partial(jax.jit,
+         static_argnames=("k", "tile_n", "tile_v", "interpret", "cull",
+                          "far_skip"))
 def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
                tile_n: int = 1024, tile_v: int = 512,
-               interpret: bool = False):
-    """Exact kNN, same contract as ops.knn.knn: (B,N,3),(B,V,3) ->
-    dists (B,N,k) ascending + idx (B,N,k)."""
+               interpret: bool = False, cull: bool = False,
+               far_skip: float = 0.0):
+    """Exact kNN, same contract as ops.knn.knn: (B,N,3),(B,N,k) ->
+    dists (B,N,k) ascending + idx (B,N,k). `cull` enables the exact
+    AABB tile-skip; `far_skip` (= dis_threshold) enables the pipeline-exact
+    all-far tile skip — returned distances for skipped points are true
+    distances to vertex 0 (all > far_skip), indices are 0 (see
+    _knn_kernel)."""
     B, N, _ = points.shape
     V = verts.shape[1]
 
@@ -115,8 +190,17 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
     pts_t = pts.transpose(0, 2, 1)  # (B, 3, Np)
     vts_t = vts.transpose(0, 2, 1)  # (B, 3, Vp)
 
+    # per-vertex-tile AABBs for the exact cull (mins use +BIG padding so a
+    # partially padded last tile keeps a valid, conservative box)
+    n_vt = Vp // tile_v
+    vt = vts.reshape(B, n_vt, tile_v, 3)
+    vbox = jnp.concatenate(
+        [vt.min(axis=2), vt.max(axis=2),
+         jnp.zeros((B, n_vt, 2), jnp.float32)], axis=-1)  # (B, n_vt, 8)
+
     kernel = partial(_knn_kernel, k=k, tile_v=tile_v,
-                     n_vert_tiles=Vp // tile_v)
+                     n_vert_tiles=n_vt, cull=cull,
+                     far2=float(far_skip) ** 2)
     grid = (B, Np // tile_n)
     out_d, out_i = pl.pallas_call(
         kernel,
@@ -125,6 +209,8 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
             pl.BlockSpec((1, 3, tile_n), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, Vp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_vt, 8), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -145,7 +231,7 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
             flops=9 * B * Np * Vp, bytes_accessed=B * (Np + Vp) * 12,
             transcendentals=0),
         interpret=interpret,
-    )(pts_t, vts_t)
+    )(pts_t, vts_t, vbox)
 
     d = jax.lax.stop_gradient(out_d.transpose(0, 2, 1)[:, :N])
     i = out_i.transpose(0, 2, 1)[:, :N]

@@ -226,3 +226,59 @@ def test_knn_pallas_interpret_matches_bruteforce():
                        axis=-1),
         np.asarray(i_pl), axis=-1)
     np.testing.assert_allclose(d_check, np.asarray(d_ref), atol=2e-4)
+
+
+def test_knn_pallas_cull_exact():
+    """The AABB tile-cull must not change results — coherent ray-like
+    points (most culls) and random points (few culls)."""
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+    rng = np.random.default_rng(9)
+    verts = jnp.asarray(rng.normal(scale=0.3, size=(2, 900, 3))
+                        .astype(np.float32))
+    # ray-like coherent points: consecutive samples along a few rays,
+    # including background rays far from the cloud
+    o = rng.normal(scale=2.0, size=(2, 8, 1, 3)).astype(np.float32)
+    d = rng.normal(size=(2, 8, 1, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = np.linspace(0, 3, 48, dtype=np.float32).reshape(1, 1, 48, 1)
+    pts = jnp.asarray((o + t * d).reshape(2, -1, 3))
+
+    for p in (pts, jnp.asarray(rng.normal(size=(2, 384, 3)).astype(np.float32))):
+        d_c, i_c = knn_pallas(p, verts, tile_n=128, tile_v=256,
+                              interpret=True, cull=True)
+        d_n, i_n = knn_pallas(p, verts, tile_n=128, tile_v=256,
+                              interpret=True, cull=False)
+        np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_n), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_n))
+
+
+def test_knn_pallas_far_skip_semantics():
+    """far_skip: points beyond the threshold from all verts may return
+    approximate neighbours, but their distances must still exceed the
+    threshold (so the downstream valid-mask is unchanged); near points must
+    be exact."""
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+    rng = np.random.default_rng(4)
+    verts = jnp.asarray(rng.normal(scale=0.2, size=(1, 600, 3))
+                        .astype(np.float32))
+    near = rng.normal(scale=0.25, size=(1, 128, 3)).astype(np.float32)
+    far = rng.normal(scale=0.25, size=(1, 128, 3)).astype(np.float32) + 5.0
+    pts = jnp.asarray(np.concatenate([near, far], axis=1))
+
+    thr = 0.2
+    d_fs, i_fs = knn_pallas(pts, verts, tile_n=128, tile_v=256,
+                            interpret=True, far_skip=thr)
+    d_ex, i_ex = knn_pallas(pts, verts, tile_n=128, tile_v=256,
+                            interpret=True, far_skip=0.0)
+
+    # near tile: exact
+    np.testing.assert_allclose(np.asarray(d_fs)[:, :128],
+                               np.asarray(d_ex)[:, :128], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_fs)[:, :128],
+                                  np.asarray(i_ex)[:, :128])
+    # far tile: all reported distances beyond the threshold -> same
+    # valid mask, and indices in range
+    assert (np.asarray(d_fs)[:, 128:] > thr).all()
+    assert ((np.asarray(d_fs) < thr) == (np.asarray(d_ex) < thr)).all()
