@@ -42,6 +42,7 @@ class Renderer:
         self.system = system
         self.mesh = mesh
         self._render = jax.jit(self._render_fn, static_argnames=())
+        self._maybe_hit = jax.jit(self._maybe_hit_fn)
 
     def _render_fn(self, params, body_params, body_tmpl, rays, P):
         ctx = prepare_frame(self.system.body_model, body_params, body_tmpl)
@@ -71,6 +72,52 @@ class Renderer:
     # 512^2 frame is just 8 slabs here (vs the reference's 128 chunks of
     # 2048, novel_view.py:94-98).
     max_rays_per_call: int = 32768
+    # Ray-level cull: skip rendering rays whose every sample is provably
+    # farther than dis_threshold from all body vertices — such rays have
+    # sigma == -1e5 at every sample (anim_nerf.py:305), so their composite
+    # is EXACTLY background (rgb = 1 under white_bkgd, alpha = 0, depth =
+    # the per-ray far). Most rays of a real frame are background.
+    cull_rays: bool = True
+
+    def _maybe_hit_fn(self, body_params, body_tmpl, rays, P):
+        """(B, R) bool: could any sample of this ray be within
+        dis_threshold of the body? Conservative (Lipschitz-1 along the
+        ray; 8 vertex AABBs). Also returns the per-ray tightened far."""
+        cfg = self.system.renderer_cfg
+        scene_cfg = self.system.scene_cfg
+        ctx = prepare_frame(self.system.body_model, body_params, body_tmpl)
+        rays_root = rays_to_root_frame(ctx, rays)
+        o = jnp.einsum("ij,brj->bri", P[:3, :3], rays_root[..., 0:3]) + P[:3, 3]
+        d = jnp.einsum("ij,brj->bri", P[:3, :3], rays_root[..., 3:6])
+        rays_root = jnp.concatenate([o, d, rays_root[..., 6:8]], axis=-1)
+
+        from animnerf_tpu.render.volume_renderer import sample_coarse
+
+        z = sample_coarse(cfg, rays_root, 0.0, None)  # (B, R, Kc)
+        pts = (rays_root[..., None, 0:3]
+               + z[..., None] * rays_root[..., None, 3:6])  # (B, R, K, 3)
+
+        # 8 vertex AABBs over index chunks (SMPL ordering is spatially
+        # semi-coherent, so the boxes are reasonably tight)
+        B, V = ctx.verts.shape[:2]
+        nb = 8
+        pad = (-V) % nb
+        vv = jnp.pad(ctx.verts, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        vv = vv.reshape(B, nb, -1, 3)
+        lo = vv.min(axis=2)  # (B, nb, 3)
+        hi = vv.max(axis=2)
+
+        gap = jnp.maximum(
+            jnp.maximum(lo[:, None, None] - pts[:, :, :, None], 0.0),
+            jnp.maximum(pts[:, :, :, None] - hi[:, None, None], 0.0))
+        lb = jnp.sqrt(jnp.sum(gap * gap, axis=-1)).min(axis=-1)  # (B, R, K)
+
+        # Lipschitz cover of the whole [z_0, z_last] segment: any point
+        # between samples i, i+1 is within spacing of one of them
+        spacing = jnp.max(z[..., 1:] - z[..., :-1], axis=-1)  # (B, R)
+        thr = scene_cfg.dis_threshold
+        maybe = jnp.any(lb < (thr + spacing[..., None]), axis=-1)  # (B, R)
+        return maybe, rays_root[..., 7]
 
     def render_frame(self, params, body_params, body_tmpl, rays: np.ndarray,
                      P: Optional[np.ndarray] = None,
@@ -80,6 +127,45 @@ class Renderer:
             P = np.eye(4, dtype=np.float32)
         n = rays.shape[0]
         cap = self.max_rays_per_call
+
+        cfg = self.system.renderer_cfg
+        can_cull = (self.cull_rays and self.mesh is None and n > cap
+                    and self.system.scene_cfg.use_unpose
+                    and cfg.n_fine_depth == 0)
+        if can_cull:
+            maybe, fars = self._maybe_hit(
+                body_params, body_tmpl, jnp.asarray(rays)[None],
+                jnp.asarray(P))
+            maybe = np.asarray(maybe[0])
+            fars = np.asarray(fars[0])
+            active = np.nonzero(maybe)[0]
+            if len(active) < n:  # render only body-intersecting rays
+                bg = 1.0 if cfg.white_bkgd else 0.0
+                img = np.full((n, 3), bg, np.float32)
+                mask = np.zeros(n, np.float32)
+                # culled rays composite to depth == far under white_bkgd
+                # (volume_rendering.py:151-153), 0 otherwise
+                depth = fars.astype(np.float32) if cfg.white_bkgd \
+                    else np.zeros(n, np.float32)
+                if len(active):
+                    # pad to an 8k quantum so per-view active counts reuse a
+                    # handful of compiled shapes instead of recompiling
+                    quantum = 8192
+                    pad = (-len(active)) % quantum
+                    act = np.concatenate(
+                        [active, np.repeat(active[-1:], pad)]) \
+                        if pad else active
+                    ai, am, ad = self.render_frame(
+                        params, body_params, body_tmpl, rays[act], P)
+                    img[active] = ai[:len(active)]
+                    mask[active] = am[:len(active)]
+                    depth[active] = ad[:len(active)]
+                if img_wh is not None:
+                    W, H = img_wh
+                    return (img.reshape(H, W, 3), mask.reshape(H, W),
+                            depth.reshape(H, W))
+                return img, mask, depth
+
         if self.mesh is None and n > cap:
             parts = [self.render_frame(params, body_params, body_tmpl,
                                        rays[i:i + cap], P)

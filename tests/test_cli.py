@@ -126,3 +126,33 @@ def test_cli_test_split(trained):
                      out_dir=os.path.join(cfg.outputs_dir, "vis"))
     assert np.isfinite(means["psnr"]) and np.isfinite(means["ssim"])
     assert os.path.exists(os.path.join(cfg.outputs_dir, "vis", "000002.png"))
+
+def test_ray_cull_exactness(trained):
+    """Ray-level background culling must not change rendered outputs."""
+    import numpy as np
+
+    from animnerf_tpu.cli.common import (
+        load_cam_and_rays,
+        load_frame_params,
+        load_system_and_params,
+    )
+    from animnerf_tpu.cli.common import resolve_cfg
+    from animnerf_tpu.render.inference import Renderer
+
+    cfg, ckpt, tmp = trained
+    system, params = load_system_and_params(cfg, ckpt)
+    _, body_params, template = load_frame_params(cfg, 1)
+    cam, rays = load_cam_and_rays(cfg, 0)
+    W, H = cfg.img_wh
+
+    r = Renderer(system)
+    r.max_rays_per_call = 64  # force the slab+cull path on the tiny frame
+    r.cull_rays = True
+    img_c, mask_c, depth_c = r.render_frame(params, body_params, template,
+                                            rays, img_wh=(W, H))
+    r.cull_rays = False
+    img_n, mask_n, depth_n = r.render_frame(params, body_params, template,
+                                            rays, img_wh=(W, H))
+    np.testing.assert_allclose(img_c, img_n, atol=1e-5)
+    np.testing.assert_allclose(mask_c, mask_n, atol=1e-5)
+    np.testing.assert_allclose(depth_c, depth_n, atol=1e-4)
