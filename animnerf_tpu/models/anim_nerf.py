@@ -49,6 +49,9 @@ class AnimNeRFConfig:
     dis_threshold: float = 0.2
     query_inside: bool = False
     weight_std: float = 0.1
+    # Experimental: all-far point-tile skip inside the kNN kernel
+    # (pipeline-exact; measured neutral on v5e, see PERF.md).
+    knn_far_skip: bool = False
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-native training
     # Rematerialize the canonical MLP in backward: activations for millions
     # of point queries dominate HBM (a 16k-ray step OOMs a 16G chip without
@@ -191,7 +194,7 @@ class AnimNeRFModel:
         assert ctx is not None, "use_unpose requires a FrameContext"
         return unpose(ctx, xyz, viewdir, k=c.k_neigh,
                       dis_threshold=c.dis_threshold, weight_std=c.weight_std,
-                      unpose_view=c.unpose_view)
+                      unpose_view=c.unpose_view, far_skip=c.knn_far_skip)
 
     def field_points(self, params: dict, xyz: jax.Array,
                      viewdir: Optional[jax.Array] = None,

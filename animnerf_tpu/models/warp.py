@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from animnerf_tpu.ops.blend import gather_blend
 from animnerf_tpu.ops.knn import knn
 from animnerf_tpu.smpl.body_model import BodyModel, BodyModelOutput, forward as body_forward
 
@@ -171,30 +172,18 @@ def blend_neighbour_transforms(
     dists, idx = knn(xyz, ctx.verts, k=k, far_skip=far_skip)
     dists = jax.lax.stop_gradient(dists)
 
-    # ONE fused gather of [lbs weights | flat transform] per neighbour, and
-    # the blend as an einsum over the flat (16) transform — never
-    # materialising a (B, N, k, 4, 4) tensor whose tiny trailing dims would
-    # lane-pad 32x on TPU (measured 5x slower than this layout).
+    # ONE fused gather of [lbs weights | flat transform] per neighbour and
+    # an einsum blend over the flat (16) transform — never materialising a
+    # (B, N, k, 4, 4) tensor whose tiny trailing dims would lane-pad 32x on
+    # TPU. gather_blend is a custom-VJP op: the backward is a Pallas
+    # scatter-free segment-sum on the MXU instead of XLA's scatter-add
+    # (the single largest train-step cost before — see ops/blend.py).
     table = jnp.concatenate(
         [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
          ctx.ober2cano.reshape(B, V, 16)], axis=-1)  # (B, V, J+16)
-    g = jnp.take_along_axis(
-        table, idx.reshape(B, N * k, 1), axis=1).reshape(B, N, k, J + 16)
-    neigh_w = g[..., :J]
-    neigh_T = g[..., J:]
-
-    conf = jnp.exp(
-        -jnp.sum(jnp.abs(neigh_w - neigh_w[..., 0:1, :]), axis=-1)
-        / (2.0 * weight_std**2)
-    )
-    gate = (conf > conf_gate).astype(xyz.dtype)
-    w = jnp.exp(-dists) * gate
-    w = w / jnp.sum(w, axis=-1, keepdims=True)
-
-    blended_flat = jnp.einsum("bnk,bnkf->bnf", w, neigh_T,
-                              precision=jax.lax.Precision.HIGHEST)
+    blended_dist, blended_flat = gather_blend(
+        table, dists, idx, J, float(weight_std), float(conf_gate))
     blended_T = blended_flat.reshape(B, N, 4, 4)
-    blended_dist = jnp.sum(w * dists, axis=-1, keepdims=True)
     return blended_dist, blended_T
 
 
@@ -206,19 +195,19 @@ def unpose(
     dis_threshold: float = 0.2,
     weight_std: float = 0.1,
     unpose_view: bool = False,
+    far_skip: bool = False,
 ) -> tuple[jax.Array, Optional[jax.Array], jax.Array]:
     """Warp observed-space points into canonical space.
 
     Returns (xyz_canonical, viewdir, valid) with valid in {0.,1.}
     (reference anim_nerf.py:180-192).
-    """
-    # Experimental (default off, ANIMNERF_KNN_FAR_SKIP=1): skip all-far
-    # point tiles in the kNN kernel — pipeline-exact because such points
-    # are masked to sigma=-1e5 downstream. Measured neutral on v5e (pl.when
-    # may predicate rather than branch; see PERF.md).
-    import os
 
-    fs = dis_threshold if os.environ.get("ANIMNERF_KNN_FAR_SKIP") else 0.0
+    far_skip (experimental, default off — flows from
+    AnimNeRFConfig.knn_far_skip): skip all-far point tiles in the kNN
+    kernel — pipeline-exact because such points are masked to sigma=-1e5
+    downstream. Measured neutral on v5e (see PERF.md).
+    """
+    fs = dis_threshold if far_skip else 0.0
     dist, T = blend_neighbour_transforms(ctx, xyz, k=k,
                                          weight_std=weight_std,
                                          far_skip=fs)

@@ -42,21 +42,32 @@ from animnerf_tpu.training.system import AnimNeRFSystem
 
 
 class MetricLogger:
-    """stdout + JSONL scalar logger (stands in for TensorBoardLogger)."""
+    """stdout + JSONL + TensorBoard-event scalar/image logger (replaces the
+    reference's TensorBoardLogger, train.py:446-449, without the tensorboard
+    package — see utils/tb_events.py)."""
 
     def __init__(self, log_dir: str, exp_name: str):
+        from animnerf_tpu.utils.tb_events import EventWriter
+
         self.dir = os.path.join(log_dir, exp_name)
         os.makedirs(self.dir, exist_ok=True)
         self._f = open(os.path.join(self.dir, "metrics.jsonl"), "a")
+        self._tb = EventWriter(self.dir)
 
     def log(self, step: int, scalars: dict, prefix: str = "train") -> None:
-        rec = {"step": step,
-               **{f"{prefix}/{k}": float(v) for k, v in scalars.items()}}
-        self._f.write(json.dumps(rec) + "\n")
+        tagged = {f"{prefix}/{k}": float(v) for k, v in scalars.items()}
+        self._f.write(json.dumps({"step": step, **tagged}) + "\n")
         self._f.flush()
+        self._tb.add_scalars(tagged, step)
+
+    def log_image(self, step: int, tag: str, img) -> None:
+        """img: uint8 (H, W, 3) — e.g. the GT|pred|depth validation triptych
+        (reference train.py:377-383)."""
+        self._tb.add_image(tag, img, step)
 
     def close(self):
         self._f.close()
+        self._tb.close()
 
 
 def build_system(cfg: CfgNode) -> AnimNeRFSystem:
@@ -164,11 +175,13 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
         metrics = {"psnr": psnr_np(pred, gt), "ssim": ssim(pred, gt)}
         logger.log(step, metrics, prefix="val")
         if epoch % max(cfg.val.vis_freq, 1) == 0:
-            from animnerf_tpu.utils.vis import save_triptych
+            from animnerf_tpu.utils.vis import save_image, triptych
 
             depth = np.asarray(out[d_key]).reshape(H, W)
-            save_triptych(os.path.join(
-                logger.dir, f"val_epoch{epoch:04d}.png"), gt, pred, depth)
+            panel = triptych(gt, pred, depth)
+            save_image(os.path.join(
+                logger.dir, f"val_epoch{epoch:04d}.png"), panel)
+            logger.log_image(step, "val/gt_pred_depth", panel)
         return metrics
 
     max_steps = cfg.train.max_steps
@@ -176,6 +189,7 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
     step = start_step
     t_start = time.time()
     rays_per_step = cfg.train.batch_size * cfg.train.subsamplesize**2
+    metrics = {"loss": float("nan"), "psnr": float("nan")}
 
     for epoch in range(cfg.train.max_epochs):
         for batch in loader.epoch(epoch):
@@ -207,7 +221,9 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
             val_m = run_validation(epoch, host_state.params)
             print(f"epoch {epoch} val psnr {val_m['psnr']:.2f} "
                   f"ssim {val_m['ssim']:.4f}", flush=True)
-        except Exception as e:  # val data optional (e.g. missing frames)
+        except (FileNotFoundError, IndexError, KeyError) as e:
+            # val data genuinely optional (missing frames/dirs); any other
+            # exception (OOM, shape bug, ...) must surface, not be masked
             print(f"epoch {epoch} validation skipped: {e}", flush=True)
         manager.save(host_state.params, step, m,
                      extra_meta={"epoch": epoch, "cfg": dict_flat(cfg)})
