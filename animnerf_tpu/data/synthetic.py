@@ -92,12 +92,20 @@ def make_body_model(num_verts: int = 256, num_joints: int = 24,
 
     from animnerf_tpu.smpl.body_model import BodyModel, NUM_JOINTS
 
-    if model_type in ("smplh", "smplx") and num_joints == 24:
+    if model_type in ("smplh", "smplx", "mano", "flame") and num_joints == 24:
         num_joints = NUM_JOINTS[model_type]
 
     rig = make_rig(num_verts, num_joints, num_betas, seed)
     extra = np.arange(min(4, num_verts), dtype=np.int32)  # fake keypoints
     kwargs = {}
+    if model_type == "mano":
+        rng = np.random.default_rng(seed + 77)
+        kwargs = dict(
+            hand_components_l=jnp.asarray(
+                rng.normal(scale=0.1, size=(num_pca, 45)).astype(np.float32)),
+            hand_mean_l=jnp.asarray(
+                rng.normal(scale=0.02, size=45).astype(np.float32)),
+        )
     if model_type in ("smplh", "smplx"):
         rng = np.random.default_rng(seed + 77)
         kwargs = dict(

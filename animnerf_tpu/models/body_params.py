@@ -24,6 +24,12 @@ PARAM_DIMS = {
     "smplx": {"betas": 10, "global_orient": 3, "transl": 3, "body_pose": 63,
               "left_hand_pose": 6, "right_hand_pose": 6, "jaw_pose": 3,
               "expression": 10},
+    # hand-only rig (reference smplx/body_models.py MANO family)
+    "mano": {"betas": 10, "global_orient": 3, "transl": 3, "hand_pose": 6},
+    # head rig (reference smplx/body_models.py FLAME family)
+    "flame": {"betas": 10, "global_orient": 3, "transl": 3, "neck_pose": 3,
+              "jaw_pose": 3, "leye_pose": 3, "reye_pose": 3,
+              "expression": 10},
 }
 
 

@@ -90,15 +90,16 @@ class LPIPSTorch:
 class Evaluator:
     """Bundles the three metrics; mirrors reference Evaluator.__call__."""
 
-    def __init__(self, use_lpips: bool = True):
+    def __init__(self, use_lpips: bool = True,
+                 lpips_weights: "str | None" = None):
         self.lpips = None
         if use_lpips:
-            # priority: converted JAX weights (offline-friendly), then the
-            # torch lpips package
+            # priority: explicit/converted JAX weights (offline-friendly),
+            # then the torch lpips package
             import os
 
-            weights = os.environ.get("ANIMNERF_LPIPS_WEIGHTS",
-                                     "assets/lpips_alex.npz")
+            weights = lpips_weights or os.environ.get(
+                "ANIMNERF_LPIPS_WEIGHTS", "assets/lpips_alex.npz")
             if os.path.exists(weights):
                 from animnerf_tpu.models.lpips_jax import LPIPSJax
 

@@ -50,10 +50,16 @@ def make_sharded_train_step(system: AnimNeRFSystem, tx, mesh: Mesh):
 
 def make_sharded_eval_step(system: AnimNeRFSystem, mesh: Mesh):
     """Full-frame rendering with the *ray* axis sharded: a 512^2 frame is one
-    program over n_chips, replacing the reference's chunk loop."""
+    program over n_chips, replacing the reference's chunk loop.
+
+    The jitted program is cached per batch *structure* (key set + per-key
+    ndim — the only inputs the sharding layout depends on); repeated calls
+    with new slab shapes hit jax.jit's own shape cache instead of rebuilding
+    a fresh jit wrapper every call."""
     step = system.make_eval_step()
     rep = replicated(mesh)
     rsh = ray_sharding(mesh)
+    cache: dict = {}
 
     def batch_shardings(batch: dict):
         out = {}
@@ -65,10 +71,18 @@ def make_sharded_eval_step(system: AnimNeRFSystem, mesh: Mesh):
         return out
 
     def eval_step(params, batch):
-        shardings = batch_shardings(batch)
+        key = tuple(sorted((k, getattr(v, "ndim", 0))
+                           for k, v in batch.items()))
+        if key not in cache:
+            shardings = batch_shardings(batch)
+            cache[key] = (
+                jax.jit(step, in_shardings=(rep, shardings),
+                        out_shardings=rsh),
+                shardings,
+            )
+        jitted, shardings = cache[key]
         batch = jax.device_put(batch, shardings)
-        jitted = jax.jit(step, in_shardings=(rep, shardings),
-                         out_shardings=rsh)
         return jitted(params, batch)
 
+    eval_step._cache = cache  # exposed for tests
     return eval_step

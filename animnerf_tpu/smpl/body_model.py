@@ -174,9 +174,9 @@ def forward(
 
     shape_coeffs = betas
     shapedirs = model.shapedirs
-    if model.model_type == "smplx" and expression is not None:
-        # SMPL-X concatenates expression dirs after the shape dirs; loaders
-        # that ship them fused can pass a wider shapedirs.
+    if model.model_type in ("smplx", "flame") and expression is not None:
+        # SMPL-X/FLAME concatenate expression dirs after the shape dirs;
+        # loaders that ship them fused can pass a wider shapedirs.
         if shapedirs.shape[-1] >= betas.shape[-1] + expression.shape[-1]:
             shape_coeffs = jnp.concatenate([betas, expression], axis=-1)
             shapedirs = shapedirs[..., : shape_coeffs.shape[-1]]

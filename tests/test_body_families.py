@@ -67,3 +67,69 @@ def test_init_body_params_dims():
         for k, d in dims.items():
             expected = (1, d) if k == "betas" else (5, d)
             assert p[k].shape == expected, (mt, k)
+
+
+@pytest.mark.parametrize("model_type", ["mano", "flame"])
+def test_mano_flame_forward_shapes(model_type):
+    """MANO (hand rig, 16 joints, PCA pose) and FLAME (head rig, 5 joints)
+    forwards produce the full six-tuple (reference smplx/body_models.py
+    MANO/FLAME families return the same modified outputs)."""
+    model = make_body_model(num_verts=96, model_type=model_type, seed=11)
+    J = model.num_joints
+    assert J == (16 if model_type == "mano" else 5)
+    p = _params(model_type, seed=12)
+    out = bm.forward(model, **p)
+    assert out.vertices.shape == (2, 96, 3)
+    assert out.joints_transform.shape == (2, J, 4, 4)
+    assert out.vertices_transform.shape == (2, 96, 4, 4)
+    assert out.shape_offsets.shape == (2, 96, 3)
+    assert out.pose_offsets.shape == (2, 96, 3)
+    assert np.isfinite(np.asarray(out.vertices)).all()
+
+
+def test_mano_pca_articulates():
+    """MANO finger pose flows through the PCA basis into the vertices."""
+    model = make_body_model(num_verts=96, model_type="mano", seed=13)
+    p = _params("mano", seed=14)
+    out1 = bm.forward(model, **p)
+    out2 = bm.forward(model, **dict(p, hand_pose=p["hand_pose"] + 1.0))
+    assert not np.allclose(np.asarray(out1.vertices),
+                           np.asarray(out2.vertices))
+
+
+def test_flame_jaw_and_neck_articulate():
+    model = make_body_model(num_verts=96, model_type="flame", seed=15)
+    p = _params("flame", seed=16)
+    out1 = bm.forward(model, **p)
+    for key in ("jaw_pose", "neck_pose", "leye_pose"):
+        out2 = bm.forward(model, **dict(p, **{key: p[key] + 0.7}))
+        assert not np.allclose(np.asarray(out1.vertices),
+                               np.asarray(out2.vertices)), key
+
+
+def test_flame_expression_blendshapes():
+    """With fused shape+expression dirs (20 cols), expression deforms the
+    mesh but must NOT move the skeleton pose (pure blendshape)."""
+    model = make_body_model(num_verts=96, num_betas=20, model_type="flame",
+                            seed=17)
+    p = _params("flame", seed=18)
+    out1 = bm.forward(model, **p)
+    out2 = bm.forward(model, **dict(p, expression=p["expression"] + 1.0))
+    assert not np.allclose(np.asarray(out1.vertices),
+                           np.asarray(out2.vertices))
+
+
+@pytest.mark.parametrize("model_type", ["mano", "flame"])
+def test_mano_flame_warp_pipeline(model_type):
+    """prepare_frame + unpose run end-to-end on the hand/head rigs: points
+    on the observed surface warp to finite canonical coords and are valid."""
+    model = make_body_model(num_verts=96, model_type=model_type, seed=19)
+    p = _params(model_type, seed=20)
+    tmpl = _params(model_type, seed=21)
+    tmpl = dict(tmpl, transl=jnp.zeros_like(tmpl["transl"]),
+                betas=p["betas"])
+    ctx = prepare_frame(model, p, tmpl)
+    xyz = ctx.verts[:, ::7]
+    cano, _, valid = unpose(ctx, xyz)
+    assert np.asarray(valid).mean() > 0.8
+    assert np.isfinite(np.asarray(cano)).all()
