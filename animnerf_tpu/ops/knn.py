@@ -101,3 +101,39 @@ def knn(points: jax.Array, verts: jax.Array, k: int = 4,
             tile_v=int(os.environ.get("ANIMNERF_KNN_TILE_V", "512")),
             far_skip=far_skip)
     return knn_bruteforce(points, verts, k=k, chunk=chunk)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def min_vertex_distance_jnp(points: jax.Array, verts: jax.Array,
+                            chunk: int = 8192) -> jax.Array:
+    """(B, N, 3), (B, V, 3) -> (B, N) nearest-vertex euclidean distance."""
+    B, N, _ = points.shape
+    v_sq = jnp.sum(verts * verts, axis=-1)
+
+    def chunk_min(p):
+        p_sq = jnp.sum(p * p, axis=-1, keepdims=True)
+        cross = jnp.einsum("btc,bvc->btv", p, verts,
+                           precision=jax.lax.Precision.HIGHEST)
+        d2 = p_sq - 2.0 * cross + v_sq[:, None, :]
+        return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
+
+    if N <= chunk:
+        return chunk_min(points)
+    pad = (-N) % chunk
+    p = jnp.pad(points, ((0, 0), (0, pad), (0, 0))) if pad else points
+    n_chunks = p.shape[1] // chunk
+    xs = p.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+    _, d = jax.lax.scan(lambda c, x: (c, chunk_min(x)), None, xs)
+    return d.transpose(1, 0, 2).reshape(B, -1)[:, :N]
+
+
+def min_vertex_distance(points: jax.Array, verts: jax.Array) -> jax.Array:
+    """Platform dispatcher for the nearest-vertex distance (the validity
+    pre-pass of sample-level compaction — see render/inference.py)."""
+    points = jax.lax.stop_gradient(points)
+    verts = jax.lax.stop_gradient(verts)
+    if _on_tpu():
+        from animnerf_tpu.ops.knn_pallas import min_dist_pallas
+
+        return min_dist_pallas(points, verts)
+    return min_vertex_distance_jnp(points, verts)

@@ -158,6 +158,79 @@ def _knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref, out_i_ref,
     out_i_ref[0] = top_i[:]
 
 
+def _min_dist_kernel(points_ref, verts_ref, out_ref, *, tile_v: int,
+                     n_vert_tiles: int):
+    """Nearest-vertex distance only — no top-k bookkeeping, no argmin: one
+    running min over vertex tiles. ~4x cheaper than the k=4 kernel (the k
+    extract-min passes dominate it); used as the validity pre-pass for
+    sample-level compaction (points with min-dist >= dis_threshold are
+    provably invalid downstream: the blended kNN distance is a convex
+    combination of the k neighbour distances, all >= the minimum)."""
+    tile_n = points_ref.shape[-1]
+    px = points_ref[0, :].reshape(1, tile_n)
+    py = points_ref[1, :].reshape(1, tile_n)
+    pz = points_ref[2, :].reshape(1, tile_n)
+
+    best = jnp.full((1, tile_n), jnp.inf, dtype=jnp.float32)
+    for t in range(n_vert_tiles):
+        off = t * tile_v
+        vx = verts_ref[0, pl.ds(off, tile_v)].reshape(tile_v, 1)
+        vy = verts_ref[1, pl.ds(off, tile_v)].reshape(tile_v, 1)
+        vz = verts_ref[2, pl.ds(off, tile_v)].reshape(tile_v, 1)
+        d2 = (vx - px) ** 2 + (vy - py) ** 2 + (vz - pz) ** 2
+        best = jnp.minimum(best, jnp.min(d2, axis=0, keepdims=True))
+    # broadcast to 8 sublanes: a 1-sublane block is not a legal block shape
+    # and a size-1 output dim gets the degenerate T(1,128) layout that XLA
+    # stack-allocates in scoped vmem (see min_dist_pallas)
+    out_ref[...] = jnp.broadcast_to(jnp.sqrt(best), out_ref.shape)
+
+
+@partial(jax.jit, static_argnames=("tile_n", "tile_v", "interpret"))
+def min_dist_pallas(points: jax.Array, verts: jax.Array,
+                    tile_n: int = 1024, tile_v: int = 512,
+                    interpret: bool = False) -> jax.Array:
+    """(B, N, 3), (B, V, 3) -> (B, N) exact nearest-vertex distance.
+
+    tile_n x tile_v is capped so the kernel's unrolled (tile_v, tile_n)
+    distance intermediates fit the 16M VMEM stack (tile_n=2048 overflowed
+    it: ~29M of concurrent d2 temporaries). The output is (8, Np) — the
+    best row broadcast across 8 sublanes, row 0 sliced outside — because a
+    1-sublane block is not a legal block shape and the 8x write
+    amplification is noise next to the O(N*V) compute. The batch dim is an
+    unrolled loop (B is 1 at inference, tiny in tests)."""
+    B, N, _ = points.shape
+    V = verts.shape[1]
+    if B > 1:
+        return jnp.stack([
+            min_dist_pallas(points[b:b + 1], verts[b:b + 1], tile_n=tile_n,
+                            tile_v=tile_v, interpret=interpret)[0]
+            for b in range(B)])
+    pad_n = (-N) % tile_n
+    pad_v = (-V) % tile_v
+    pts = jnp.pad(points[0].astype(jnp.float32), ((0, pad_n), (0, 0)))
+    vts = jnp.pad(verts[0].astype(jnp.float32), ((0, pad_v), (0, 0)),
+                  constant_values=_BIG)
+    Np, Vp = N + pad_n, V + pad_v
+    out = pl.pallas_call(
+        partial(_min_dist_kernel, tile_v=tile_v, n_vert_tiles=Vp // tile_v),
+        grid=(Np // tile_n,),
+        in_specs=[
+            pl.BlockSpec((3, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Vp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tile_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=9 * Np * Vp, bytes_accessed=(Np + Vp) * 12,
+            transcendentals=0),
+        interpret=interpret,
+    )(pts.T, vts.T)
+    return out[0:1, :N]
+
+
 @partial(jax.jit,
          static_argnames=("k", "tile_n", "tile_v", "interpret", "cull",
                           "far_skip"))

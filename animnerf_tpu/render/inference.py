@@ -43,6 +43,15 @@ class Renderer:
         self.mesh = mesh
         self._render = jax.jit(self._render_fn, static_argnames=())
         self._maybe_hit = jax.jit(self._maybe_hit_fn)
+        self._prepass = jax.jit(self._prepass_fn)
+        self._coarse = jax.jit(self._coarse_fn)
+        self._fine = jax.jit(self._fine_fn)
+        # device-side compaction: flat keep mask -> first `cap` survivor
+        # indices (padded with 0 — padded entries recompute index 0's value
+        # and scatter it again, which is exact). Compiled per ladder rung.
+        self._select = jax.jit(
+            lambda keep, cap: jnp.nonzero(keep, size=cap, fill_value=0)[0]
+            .astype(jnp.int32), static_argnames=("cap",))
 
     def _render_fn(self, params, body_params, body_tmpl, rays, P):
         ctx = prepare_frame(self.system.body_model, body_params, body_tmpl)
@@ -78,6 +87,174 @@ class Renderer:
     # is EXACTLY background (rgb = 1 under white_bkgd, alpha = 0, depth =
     # the per-ray far). Most rays of a real frame are background.
     cull_rays: bool = True
+    # Sample-level compaction: even on body-intersecting rays, most of the
+    # 64+32 samples lie outside the dis_threshold shell (the near/far span
+    # is cam_dist -/+ 1m = 2m vs a ~0.2m shell). A nearest-vertex-distance
+    # pre-pass (cheap Pallas min kernel, no top-k) proves samples invalid —
+    # the blended kNN distance is a convex combination of neighbour
+    # distances, all >= the minimum, so min-dist >= threshold implies
+    # valid == 0 and sigma == -1e5 (anim_nerf.py:305). The full kNN +
+    # gather/blend + MLP then run only on the compacted survivors and the
+    # results are scattered back into the dense (R, K) grid before
+    # compositing. Bit-exact: skipped samples' rgb never contributes
+    # (weight is exactly 0) and their sigma fill is identical.
+    compact_samples: bool = True
+    # compacted point counts are padded up a 1.5x-geometric ladder so a
+    # handful of compiled shapes cover all slabs/views
+    compact_quantum: int = 8192
+
+    def _pad_ladder(self, n: int) -> int:
+        size = self.compact_quantum
+        while size < n:
+            size = int(size * 3 // 2)
+        return size
+
+    def _compaction_applicable(self) -> bool:
+        cfg = self.system.renderer_cfg
+        sc = self.system.scene_cfg
+        return (self.compact_samples and self.mesh is None
+                and sc.use_unpose and not sc.use_deformation
+                and sc.deformation_dim == 0 and sc.apperance_dim == 0
+                and cfg.n_fine_depth == 0)
+
+    # ------------------------------------------------- compacted pipeline
+
+    def _rays_root_rotated(self, ctx, rays, P):
+        rays_root = rays_to_root_frame(ctx, rays)
+        o = jnp.einsum("ij,brj->bri", P[:3, :3], rays_root[..., 0:3]) + P[:3, 3]
+        d = jnp.einsum("ij,brj->bri", P[:3, :3], rays_root[..., 3:6])
+        return jnp.concatenate([o, d, rays_root[..., 6:8]], axis=-1)
+
+    def _prepass_fn(self, body_params, body_tmpl, rays, P):
+        """Phase A: frame geometry, coarse depths, validity pre-pass.
+
+        Returns (ctx, rays_root, z_coarse, keep (1, R*Kc) bool)."""
+        from animnerf_tpu.ops.knn import min_vertex_distance
+        from animnerf_tpu.render.volume_renderer import sample_coarse
+
+        cfg = self.system.renderer_cfg
+        ctx = prepare_frame(self.system.body_model, body_params, body_tmpl)
+        rays_root = self._rays_root_rotated(ctx, rays, P)
+        z_c = sample_coarse(cfg, rays_root, 0.0, None)  # (1, R, Kc)
+        B, R, Kc = z_c.shape
+        xyz = (rays_root[..., None, 0:3]
+               + z_c[..., None] * rays_root[..., None, 3:6]).reshape(B, R * Kc, 3)
+        dmin = min_vertex_distance(xyz, ctx.verts)
+        keep = dmin < self.system.scene_cfg.dis_threshold
+        return ctx, rays_root, z_c, keep, jnp.sum(keep, dtype=jnp.int32)
+
+    def _points_at(self, rays_root, z_flat, sel, K):
+        """Gather the sample points/viewdirs selected by flat indices
+        sel (N,) into the (R*K)-flattened sample grid."""
+        ray_i = sel // K
+        rays_sel = rays_root[0, ray_i]                       # (N, 8)
+        z_sel = z_flat[sel]                                  # (N,)
+        xyz = rays_sel[:, 0:3] + z_sel[:, None] * rays_sel[:, 3:6]
+        return xyz[None], rays_sel[None, :, 3:6]             # (1,N,3) x2
+
+    def _coarse_fn(self, params, ctx, rays_root, z_c, sel):
+        """Phase B: warp+MLP on compacted coarse samples, dense composite,
+        fine-depth proposal + its validity pre-pass."""
+        from animnerf_tpu.ops.knn import min_vertex_distance
+        from animnerf_tpu.render.volume_renderer import composite, sample_fine
+
+        cfg = self.system.renderer_cfg
+        scene = self.system.scene
+        B, R, Kc = z_c.shape
+        from animnerf_tpu.models.anim_nerf import SIGMA_OUTSIDE
+
+        xyz, vd = self._points_at(rays_root, z_c.reshape(-1), sel, Kc)
+        cano, vd2, valid = scene.warp_points(ctx, xyz, vd)
+        rgb, sigma = scene.field_points(params["anim_nerf"], cano, vd2,
+                                        valid, use_fine=False)
+
+        sigma_d = jnp.full((R * Kc,), SIGMA_OUTSIDE, sigma.dtype)
+        sigma_d = sigma_d.at[sel].set(sigma[0, :, 0]).reshape(1, R, Kc)
+        rgb_d = jnp.zeros((R * Kc, 3), rgb.dtype)
+        rgb_d = rgb_d.at[sel].set(rgb[0]).reshape(1, R, Kc, 3)
+
+        weights, rgb_c, depth_c, alpha_c = composite(
+            cfg, rgb_d, sigma_d, rays_root, z_c, 0.0, None)
+        out = {"rgbs": rgb_c, "alphas": alpha_c, "depths": depth_c}
+
+        z_f = keep_f = n_f = None
+        if cfg.n_fine > 0:
+            mids = 0.5 * (z_c[..., :-1] + z_c[..., 1:])
+            z_f = sample_fine(cfg, mids, weights[..., 1:-1], det=True,
+                              key=None)
+            xyz_f = (rays_root[..., None, 0:3]
+                     + z_f[..., None] * rays_root[..., None, 3:6]
+                     ).reshape(B, R * cfg.n_fine, 3)
+            keep_f = min_vertex_distance(xyz_f, ctx.verts) \
+                < self.system.scene_cfg.dis_threshold
+            n_f = jnp.sum(keep_f, dtype=jnp.int32)
+        return out, z_f, keep_f, n_f, (cano, vd2, valid)
+
+    def _fine_fn(self, params, ctx, rays_root, z_c, z_f, sel_c, warped_c,
+                 sel_f):
+        """Phase C: warp compacted fine samples, one fine-MLP pass over
+        (compacted coarse + fine), dense merge-sort composite."""
+        from animnerf_tpu.models.anim_nerf import SIGMA_OUTSIDE
+        from animnerf_tpu.render.volume_renderer import composite
+
+        cfg = self.system.renderer_cfg
+        scene = self.system.scene
+        B, R, Kc = z_c.shape
+        Kf = z_f.shape[-1]
+        Kall = Kc + Kf
+
+        xyz_f, vd_f = self._points_at(rays_root, z_f.reshape(-1), sel_f, Kf)
+        cano_f, vd_f2, valid_f = scene.warp_points(ctx, xyz_f, vd_f)
+
+        cano_c, vd_c, valid_c = warped_c
+        cano = jnp.concatenate([cano_c, cano_f], axis=1)
+        vd = None if vd_c is None else jnp.concatenate([vd_c, vd_f2], axis=1)
+        valid = jnp.concatenate([valid_c, valid_f], axis=1)
+        rgb, sigma = scene.field_points(params["anim_nerf"], cano, vd, valid,
+                                        use_fine=True)
+
+        # dense concat layout (R, Kc + Kf): coarse slots first — the same
+        # order the dense renderer concatenates before its merge sort
+        idx_c = (sel_c // Kc) * Kall + (sel_c % Kc)
+        idx_f = (sel_f // Kf) * Kall + Kc + (sel_f % Kf)
+        idx_all = jnp.concatenate([idx_c, idx_f])
+        sigma_d = jnp.full((R * Kall,), SIGMA_OUTSIDE, sigma.dtype)
+        sigma_d = sigma_d.at[idx_all].set(sigma[0, :, 0]).reshape(1, R, Kall)
+        rgb_d = jnp.zeros((R * Kall, 3), rgb.dtype)
+        rgb_d = rgb_d.at[idx_all].set(rgb[0]).reshape(1, R, Kall, 3)
+
+        z_all = jnp.concatenate([z_c, z_f], axis=-1)
+        order = jnp.argsort(z_all, axis=-1)
+        z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
+        sigma_s = jnp.take_along_axis(sigma_d, order, axis=-1)
+        rgb_s = jnp.take_along_axis(rgb_d, order[..., None], axis=2)
+
+        _, rgb_f, depth_f, alpha_f = composite(
+            cfg, rgb_s, sigma_s, rays_root, z_sorted, 0.0, None)
+        return {"rgbs": rgb_f, "alphas": alpha_f, "depths": depth_f}
+
+    def _render_compact(self, params, body_params, body_tmpl,
+                        rays: np.ndarray, P: np.ndarray):
+        """Compacted render of a whole frame (or the culled active-ray
+        set) as ONE coarse + ONE fine program. The only host syncs are the
+        two 4-byte survivor counts that pick the ladder rungs; survivor
+        index selection runs on-device (jnp.nonzero with a static size)."""
+        cfg = self.system.renderer_cfg
+        ctx, rays_root, z_c, keep, n_c = self._prepass(
+            body_params, body_tmpl, jnp.asarray(rays)[None], jnp.asarray(P))
+        cap_c = self._pad_ladder(max(int(n_c), 1))
+        sel_c = self._select(keep[0], cap_c)
+        out, z_f, keep_f, n_f, warped_c = self._coarse(
+            params, ctx, rays_root, z_c, sel_c)
+        if cfg.n_fine > 0:
+            cap_f = self._pad_ladder(max(int(n_f), 1))
+            sel_f = self._select(keep_f[0], cap_f)
+            out = self._fine(params, ctx, rays_root, z_c, z_f, sel_c,
+                             warped_c, sel_f)
+        img = np.asarray(out["rgbs"][0])
+        mask = np.asarray(out["alphas"][0, :, 0])
+        depth = np.asarray(out["depths"][0, :, 0])
+        return img, mask, depth
 
     def _maybe_hit_fn(self, body_params, body_tmpl, rays, P):
         """(B, R) bool: could any sample of this ray be within
@@ -166,10 +343,14 @@ class Renderer:
                             depth.reshape(H, W))
                 return img, mask, depth
 
-        if self.mesh is None and n > cap:
+        # the compact path renders any R in one program (its dense buffers
+        # are (R*K,) scalars, not (R, K, warp) tensors, so a full 512^2
+        # frame fits HBM without slabbing); slabs only beyond 256k rays
+        compact_cap = cap * 8 if self._compaction_applicable() else cap
+        if self.mesh is None and n > compact_cap:
             parts = [self.render_frame(params, body_params, body_tmpl,
-                                       rays[i:i + cap], P)
-                     for i in range(0, n, cap)]
+                                       rays[i:i + compact_cap], P)
+                     for i in range(0, n, compact_cap)]
             img = np.concatenate([p[0] for p in parts])
             mask = np.concatenate([p[1] for p in parts])
             depth = np.concatenate([p[2] for p in parts])
@@ -177,6 +358,15 @@ class Renderer:
                 W, H = img_wh
                 return img.reshape(H, W, 3), mask.reshape(H, W), \
                     depth.reshape(H, W)
+            return img, mask, depth
+
+        if self._compaction_applicable():
+            img, mask, depth = self._render_compact(
+                params, body_params, body_tmpl, rays, np.asarray(P))
+            if img_wh is not None:
+                W, H = img_wh
+                return (img.reshape(H, W, 3), mask.reshape(H, W),
+                        depth.reshape(H, W))
             return img, mask, depth
 
         rays_b = jnp.asarray(rays)[None]

@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main() -> None:
+    from animnerf_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -44,13 +47,18 @@ def main() -> None:
     rays = gen_rays(c2w, H, W, [f, f], 0.1, 10.0).reshape(-1, 8)
 
     renderer = Renderer(system)
-    # warmup/compile
-    img, _, _ = renderer.render_frame(params, body_params, tmpl, rays,
-                                      turntable_rotation(0, 8), (W, H))
+    # warmup/compile: several angles so the compaction ladder's capacity
+    # rungs stabilise — a 64-view turntable reuses these compiled shapes
+    # for every remaining view, so steady-state is the honest per-view
+    # number (first-ever-run compile time amortises via the persistent
+    # compilation cache, see animnerf_tpu/utils/compile_cache.py)
+    for i in (0, 11, 23, 37, 49):
+        img, _, _ = renderer.render_frame(params, body_params, tmpl, rays,
+                                          turntable_rotation(i, 64), (W, H))
 
     n_views = 5
     t0 = time.perf_counter()
-    for i in range(1, n_views + 1):
+    for i in (3, 17, 29, 41, 55):
         img, _, _ = renderer.render_frame(params, body_params, tmpl, rays,
                                           turntable_rotation(i, 64), (W, H))
     dt = time.perf_counter() - t0

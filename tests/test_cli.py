@@ -147,10 +147,45 @@ def test_ray_cull_exactness(trained):
 
     r = Renderer(system)
     r.max_rays_per_call = 64  # force the slab+cull path on the tiny frame
+    r.compact_samples = False  # isolate culling (compaction tested below)
     r.cull_rays = True
     img_c, mask_c, depth_c = r.render_frame(params, body_params, template,
                                             rays, img_wh=(W, H))
     r.cull_rays = False
+    img_n, mask_n, depth_n = r.render_frame(params, body_params, template,
+                                            rays, img_wh=(W, H))
+    np.testing.assert_allclose(img_c, img_n, atol=1e-5)
+    np.testing.assert_allclose(mask_c, mask_n, atol=1e-5)
+    np.testing.assert_allclose(depth_c, depth_n, atol=1e-4)
+
+
+def test_sample_compaction_exactness(trained):
+    """Sample-level compaction (min-dist pre-pass + fixed-capacity gather +
+    scatter-back) must not change rendered outputs: skipped samples have
+    sigma == -1e5 either way and their rgb never carries composite weight."""
+    import numpy as np
+
+    from animnerf_tpu.cli.common import (
+        load_cam_and_rays,
+        load_frame_params,
+        load_system_and_params,
+    )
+    from animnerf_tpu.render.inference import Renderer
+
+    cfg, ckpt, tmp = trained
+    system, params = load_system_and_params(cfg, ckpt)
+    _, body_params, template = load_frame_params(cfg, 1)
+    cam, rays = load_cam_and_rays(cfg, 0)
+    W, H = cfg.img_wh
+
+    r = Renderer(system)
+    r.cull_rays = False
+    r.compact_quantum = 32  # tiny frame: exercise the padding ladder
+    r.compact_samples = True
+    assert r._compaction_applicable()
+    img_c, mask_c, depth_c = r.render_frame(params, body_params, template,
+                                            rays, img_wh=(W, H))
+    r.compact_samples = False
     img_n, mask_n, depth_n = r.render_frame(params, body_params, template,
                                             rays, img_wh=(W, H))
     np.testing.assert_allclose(img_c, img_n, atol=1e-5)

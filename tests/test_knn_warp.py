@@ -282,3 +282,18 @@ def test_knn_pallas_far_skip_semantics():
     # valid mask, and indices in range
     assert (np.asarray(d_fs)[:, 128:] > thr).all()
     assert ((np.asarray(d_fs) < thr) == (np.asarray(d_ex) < thr)).all()
+
+def test_min_dist_pallas_interpret_matches_bruteforce():
+    """The nearest-vertex-distance pre-pass kernel (sample-compaction
+    validity test, render/inference.py) must agree with the jnp path."""
+    from animnerf_tpu.ops.knn import min_vertex_distance_jnp
+    from animnerf_tpu.ops.knn_pallas import min_dist_pallas
+
+    rng = np.random.default_rng(9)
+    pts = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32))
+    verts = jnp.asarray(rng.normal(size=(2, 700, 3)).astype(np.float32))
+    d_ref = min_vertex_distance_jnp(pts, verts)
+    d_pl = min_dist_pallas(pts, verts, tile_n=128, tile_v=256,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref),
+                               atol=2e-4)
