@@ -311,6 +311,92 @@ class AnimNeRFSystem:
 
         return train_step
 
+    # ----------------------------------------------- compacted training
+
+    def compaction_applicable(self) -> bool:
+        """Sample-level compaction supports the flagship configuration:
+        kNN unpose warp, no DeRF deformation / latent codes, no
+        depth-guided fine samples (see render/compact.py for why the
+        result is exact there)."""
+        sc = self.scene_cfg
+        return (sc.use_unpose and not sc.use_deformation
+                and sc.deformation_dim == 0 and sc.apperance_dim == 0
+                and self.renderer_cfg.n_fine_depth == 0)
+
+    def compact_loss_fn(self, params: dict, batch: dict, key: jax.Array,
+                        step: jax.Array, cap_c: int):
+        """Differentiated loss with coarse-sample compaction fused into ONE
+        program: validity pre-pass (nearest-vertex Pallas min kernel) ->
+        on-device survivor select at the static capacity `cap_c` -> warp +
+        coarse MLP on survivors only -> dense fine pass (see
+        render_rays_compact). Bit-matching loss vs loss_fn; gradients flow
+        through the frame context / coarse depths exactly as in the dense
+        path (sel indices are integers, no tangents).
+
+        details carries 'compact_count' (true survivor max over rows) and
+        'compact_overflow' (count > cap_c: some survivors were dropped this
+        step — the CompactTrainer detects this and re-runs the step at a
+        larger capacity before the state advances, keeping training exact).
+        """
+        from animnerf_tpu.ops.knn import min_vertex_distance
+        from animnerf_tpu.render.compact import (
+            render_rays_compact,
+            select_indices,
+        )
+        from animnerf_tpu.render.volume_renderer import sample_coarse
+
+        c = self.cfg
+        folded = jax.random.fold_in(key, step)
+        k_render, k_loss = jax.random.split(folded)
+        frame_idx = batch["frame_idx"]
+        if c.optim_body_params:
+            body_params = lookup_body_params(params["body_params"], frame_idx)
+        else:
+            body_params = batch_params_from_data(batch, c.model_type)
+        body_tmpl = batch_params_from_data(batch, c.model_type, template=True)
+        ctx = prepare_frame(self.body_model, body_params, body_tmpl)
+        rays_root = rays_to_root_frame(ctx, batch["rays"])
+        d_code, a_code = self._codes(params, frame_idx)
+
+        # validity pre-pass + select (all no-tangent: min_vertex_distance
+        # stop-grads its inputs; indices are integers)
+        k_coarse = jax.random.split(k_render, 5)[0]
+        z_c = sample_coarse(self.renderer_cfg, rays_root, 1.0, k_coarse)
+        B, R, Kc = z_c.shape
+        xyz = (rays_root[..., None, 0:3]
+               + z_c[..., None] * rays_root[..., None, 3:6]).reshape(B, R * Kc, 3)
+        keep = min_vertex_distance(xyz, ctx.verts) \
+            < self.scene_cfg.dis_threshold
+        count = jnp.max(jnp.sum(keep, axis=1)).astype(jnp.int32)
+        sel_c = select_indices(keep, cap_c)
+
+        def warp_fn(xyz, viewdir):
+            return self.scene.warp_points(ctx, xyz, viewdir)
+
+        def field_fn(xyz, viewdir, valid, use_fine):
+            return self.scene.field_points(
+                params["anim_nerf"], xyz, viewdir, valid, use_fine,
+                deformation_code=d_code, apperance_code=a_code)
+
+        results = render_rays_compact(self.renderer_cfg, warp_fn, field_fn,
+                                      rays_root, sel_c, perturb=1.0,
+                                      key=k_render, z_coarse=z_c)
+        loss, details = self.compute_loss(
+            params, results, batch["rgbs"], batch["alphas"], ctx, k_loss,
+            fg_points=batch.get("fg_points"),
+            bg_points=batch.get("bg_points"), frame_idx=frame_idx)
+        rgb_key = "rgbs_fine" if "rgbs_fine" in results else "rgbs"
+        details["psnr"] = psnr(results[rgb_key], batch["rgbs"])
+        details["compact_count"] = count
+        details["compact_overflow"] = (count > cap_c).astype(jnp.int32)
+        return loss, details
+
+    def make_compact_trainer(self, tx: optax.GradientTransformation,
+                             quantum: int = 8192, factor: float = 1.5,
+                             pipelined: bool = False, sync_every: int = 32):
+        return CompactTrainer(self, tx, quantum=quantum, factor=factor,
+                              pipelined=pipelined, sync_every=sync_every)
+
     def make_eval_step(self):
         def eval_step(params: dict, batch: dict):
             c = self.cfg
@@ -333,3 +419,128 @@ class AnimNeRFSystem:
             return results
 
         return eval_step
+
+
+class CompactTrainer:
+    """Exact sample-compacted training step (the training-side twin of the
+    inference compaction in render/inference.py; math in render/compact.py).
+
+    One fused program per capacity rung: validity pre-pass, on-device
+    survivor select, compacted coarse warp+MLP (the step's dominant cost —
+    only ~38% of coarse samples are in-shell on the flagship workload),
+    dense fine pass (importance sampling already concentrates fine depths
+    on the body: measured 98.8% in-shell, so a fine rung would pad PAST
+    dense), loss, backward, optimizer update.
+
+    The capacity is predicted from observed survivor counts (a geometric
+    ladder keeps the set of compiled programs small). Two sync policies:
+
+      strict (default): the survivor count is read back every step; a step
+        that overflowed its predicted capacity is RE-RUN at the larger rung
+        before the state advances (the program is pure and not donated), so
+        training is exact on every step. The count read-back costs one
+        host<->device round trip per step — negligible on locally-attached
+        TPUs, and the training loop reads per-step metrics anyway.
+
+      pipelined=True: steps are dispatched without any read-back (full
+        async pipelining — for environments where a device sync is
+        expensive, e.g. remote/tunneled TPUs). The capacity carries one
+        ladder rung of safety margin above the last observed count, and
+        counts are polled asynchronously every `sync_every` steps from a
+        step whose compute has long finished. If a poll reveals an
+        overflow, the capacity ratchets up and `overflows` is incremented:
+        the steps since that count were computed with the overflow samples
+        sigma-filled (a bounded, detected approximation during capacity
+        ramp; steady-state behaviour is exact).
+
+    Exactness (bit-equal loss, gradients to float reduction order) vs the
+    dense step is tested in tests/test_compact_train.py.
+    """
+
+    def __init__(self, system: AnimNeRFSystem,
+                 tx: optax.GradientTransformation,
+                 quantum: int = 8192, factor: float = 1.5,
+                 pipelined: bool = False, sync_every: int = 32,
+                 margin: float = 1.15):
+        if not system.compaction_applicable():
+            raise ValueError(
+                "compacted training requires use_unpose and no "
+                "deformation/latent codes (see compaction_applicable)")
+        self.system = system
+        self.tx = tx
+        self.quantum = quantum
+        self.factor = factor
+        self.pipelined = pipelined
+        self.sync_every = sync_every
+        self.margin = margin  # pipelined capacity headroom over last count
+        self.overflows = 0  # strict: exact re-runs; pipelined: ramp events
+        self._cap: Optional[int] = None
+        self._b: dict[int, Any] = {}
+        self._pending: list = []   # (cap_used, count device scalar)
+        self._since_sync = 0
+
+    def _ladder(self, n: int) -> int:
+        """Capacity rung: the smallest multiple of `quantum` >= n. Multiples
+        (not a geometric ladder) keep the padding overhead <= quantum while
+        survivor counts drift slowly, so the compiled-program set stays
+        small without paying 1.5x-rung padding."""
+        q = self.quantum
+        return max(q, -(-n // q) * q)
+
+    def _b_step(self, cap_c: int):
+        if cap_c not in self._b:
+            def b(state: TrainState, batch: dict, key: jax.Array):
+                grad_fn = jax.value_and_grad(
+                    partial(self.system.compact_loss_fn, cap_c=cap_c),
+                    has_aux=True)
+                (loss, details), grads = grad_fn(
+                    state.params, batch, key, state.step)
+                updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                    state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(step=state.step + 1, params=params,
+                                  opt_state=opt_state), details
+
+            # NOT donated: an overflow re-runs the step from the same state
+            self._b[cap_c] = jax.jit(b)
+        return self._b[cap_c]
+
+    def step(self, state: TrainState, batch: dict, key: jax.Array):
+        """Drop-in for the jitted dense train step (same (state, batch,
+        key) -> (state, details) contract; `key` is folded by state.step
+        internally, like make_train_step)."""
+        if self._cap is None:  # prime: one synchronous first step
+            new_state, details = self._b_step(self.quantum)(state, batch, key)
+            n = int(details["compact_count"])
+            if n > self.quantum:
+                self.overflows += 1
+                new_state, details = self._b_step(self._ladder(n))(
+                    state, batch, key)
+            margin = self.margin if self.pipelined else 1.0
+            self._cap = self._ladder(int(n * margin))
+            return new_state, details
+
+        cap = self._cap
+        new_state, details = self._b_step(cap)(state, batch, key)
+
+        if not self.pipelined:
+            n = int(details["compact_count"])
+            if n > cap:  # exact re-run at the true capacity
+                self.overflows += 1
+                cap = self._ladder(n)
+                new_state, details = self._b_step(cap)(state, batch, key)
+            self._cap = max(self._cap, self._ladder(n))
+            return new_state, details
+
+        # pipelined: no read-back on the hot path; poll an old count
+        self._pending.append((cap, details["compact_count"]))
+        self._since_sync += 1
+        if self._since_sync >= self.sync_every and self._pending:
+            cap_used, count = self._pending[0]
+            self._pending = self._pending[-1:]
+            self._since_sync = 0
+            n = int(count)  # compute finished sync_every steps ago
+            if n > cap_used:
+                self.overflows += 1
+            self._cap = max(self._cap, self._ladder(int(n * self.margin)))
+        return new_state, details

@@ -27,6 +27,9 @@ BASELINE_RAYS_PER_SEC = 10_000.0
 
 
 def main() -> None:
+    from animnerf_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
 
     from __graft_entry__ import _flagship_system, _rays
@@ -50,7 +53,17 @@ def main() -> None:
     body_params = init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1))
     state = system.init_state(rng, body_params, steps_per_epoch=100)
     tx = system.make_optimizer(steps_per_epoch=100)
-    train_step = jax.jit(system.make_train_step(tx), donate_argnums=(0,))
+    # ANIMNERF_BENCH_COMPACT=1 benches the sample-compacted trainer
+    # (bit-equal loss — tests/test_compact_train.py) instead of the dense
+    # single-program step. On this workload the synthetic body fills the
+    # tightened near/far frustum (~38% of coarse samples in-shell), so the
+    # compacted step's pre-pass+select overhead roughly cancels its warp
+    # savings (28.8k vs 30.7k rays/s measured); it wins when survivors are
+    # sparse (real capture configs, inference: 7%).
+    if os.environ.get("ANIMNERF_BENCH_COMPACT", "0") == "1":
+        train_step = system.make_compact_trainer(tx, pipelined=True).step
+    else:
+        train_step = jax.jit(system.make_train_step(tx), donate_argnums=(0,))
 
     rng_np = np.random.default_rng(0)
     tmpl = {k: np.array(v) for k, v in params_for(2, B).items()}
@@ -75,8 +88,10 @@ def main() -> None:
         b["rays"] = _rays(B, n_rays, seed=s)
         batches.append(jax.device_put(b))
 
-    # compile + warmup
-    state, metrics = train_step(state, batches[-1], key)
+    # compile + warmup: one pass over every batch so the compaction
+    # ladder's capacity rungs are all compiled before timing
+    for b in batches:
+        state, metrics = train_step(state, b, key)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
