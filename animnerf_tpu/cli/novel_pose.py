@@ -37,6 +37,9 @@ def load_mixamo_smpl(actions_dir: str, action_type: str = "0007",
 
 
 def main(argv=None) -> None:
+    from animnerf_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt_path", type=str, required=True)
     parser.add_argument("--cfg_file", type=str, default=None)

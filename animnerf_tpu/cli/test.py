@@ -8,6 +8,9 @@ import os
 
 
 def main(argv=None) -> None:
+    from animnerf_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt_path", type=str, required=True)
     parser.add_argument("--cfg_file", type=str, default=None,

@@ -12,6 +12,9 @@ from __future__ import annotations
 
 
 def main(argv=None) -> None:
+    from animnerf_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import os
 
     from animnerf_tpu.config import get_cfg
