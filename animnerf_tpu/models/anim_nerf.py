@@ -196,6 +196,28 @@ class AnimNeRFModel:
                       dis_threshold=c.dis_threshold, weight_std=c.weight_std,
                       unpose_view=c.unpose_view, far_skip=c.knn_far_skip)
 
+    def warp_knn(self, ctx: FrameContext, xyz: jax.Array):
+        """kNN half of the warp: (dists, idx) against the observed verts.
+        dists[..., 0] < dis_threshold is the exact validity pre-test the
+        compacted training step uses (render/compact.py)."""
+        from animnerf_tpu.ops.knn import knn
+
+        c = self.cfg
+        return knn(xyz, ctx.verts, k=c.k_neigh,
+                   far_skip=c.dis_threshold if c.knn_far_skip else 0.0)
+
+    def warp_points_with_knn(self, ctx: FrameContext, xyz: jax.Array,
+                             viewdir, dists: jax.Array, idx: jax.Array):
+        """Blend half of the warp on points whose (dists, idx) are already
+        known — per-point equal to warp_points."""
+        from animnerf_tpu.models.warp import unpose_with_knn
+
+        c = self.cfg
+        return unpose_with_knn(ctx, xyz, viewdir, dists, idx,
+                               dis_threshold=c.dis_threshold,
+                               weight_std=c.weight_std,
+                               unpose_view=c.unpose_view)
+
     def field_points(self, params: dict, xyz: jax.Array,
                      viewdir: Optional[jax.Array] = None,
                      valid: Optional[jax.Array] = None,

@@ -208,10 +208,41 @@ def unpose(
     downstream. Measured neutral on v5e (see PERF.md).
     """
     fs = dis_threshold if far_skip else 0.0
-    dist, T = blend_neighbour_transforms(ctx, xyz, k=k,
-                                         weight_std=weight_std,
-                                         far_skip=fs)
-    valid = (dist < dis_threshold).astype(xyz.dtype)
+    dists, idx = knn(xyz, ctx.verts, k=k, far_skip=fs)
+    return unpose_with_knn(ctx, xyz, viewdir, dists, idx,
+                           dis_threshold=dis_threshold,
+                           weight_std=weight_std, unpose_view=unpose_view)
+
+
+def unpose_with_knn(
+    ctx: FrameContext,
+    xyz: jax.Array,
+    viewdir: Optional[jax.Array],
+    dists: jax.Array,
+    idx: jax.Array,
+    dis_threshold: float = 0.2,
+    weight_std: float = 0.1,
+    unpose_view: bool = False,
+    conf_gate: float = 0.9,
+) -> tuple[jax.Array, Optional[jax.Array], jax.Array]:
+    """The post-kNN half of unpose: confidence-gated LBS blend + transform
+    + validity. Split out so callers that already hold (dists, idx) — the
+    compacted training step runs the kNN dense (its nearest distance IS
+    the exact validity test) and blends only the in-shell survivors — can
+    skip the kNN re-run. Gathering (dists, idx) rows commutes with the
+    per-point blend, so results equal unpose() per point exactly."""
+    B, N = xyz.shape[:2]
+    V, J = ctx.lbs_weights.shape
+    dists = jax.lax.stop_gradient(dists)
+
+    table = jnp.concatenate(
+        [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
+         ctx.ober2cano.reshape(B, V, 16)], axis=-1)  # (B, V, J+16)
+    blended_dist, blended_flat = gather_blend(
+        table, dists, idx, J, float(weight_std), float(conf_gate))
+    T = blended_flat.reshape(B, N, 4, 4)
+
+    valid = (blended_dist < dis_threshold).astype(xyz.dtype)
     xyz_cano = transform_points(T, xyz)
     if unpose_view and viewdir is not None:
         # NB: the reference warps the view direction with pad_ones=True,

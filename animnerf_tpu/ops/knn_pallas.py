@@ -167,22 +167,22 @@ def _min_dist_kernel(points_ref, verts_ref, out_ref, *, tile_v: int,
     provably invalid downstream: the blended kNN distance is a convex
     combination of the k neighbour distances, all >= the minimum)."""
     tile_n = points_ref.shape[-1]
-    px = points_ref[0, :].reshape(1, tile_n)
-    py = points_ref[1, :].reshape(1, tile_n)
-    pz = points_ref[2, :].reshape(1, tile_n)
+    px = points_ref[0, 0, :].reshape(1, tile_n)
+    py = points_ref[0, 1, :].reshape(1, tile_n)
+    pz = points_ref[0, 2, :].reshape(1, tile_n)
 
     best = jnp.full((1, tile_n), jnp.inf, dtype=jnp.float32)
     for t in range(n_vert_tiles):
         off = t * tile_v
-        vx = verts_ref[0, pl.ds(off, tile_v)].reshape(tile_v, 1)
-        vy = verts_ref[1, pl.ds(off, tile_v)].reshape(tile_v, 1)
-        vz = verts_ref[2, pl.ds(off, tile_v)].reshape(tile_v, 1)
+        vx = verts_ref[0, 0, pl.ds(off, tile_v)].reshape(tile_v, 1)
+        vy = verts_ref[0, 1, pl.ds(off, tile_v)].reshape(tile_v, 1)
+        vz = verts_ref[0, 2, pl.ds(off, tile_v)].reshape(tile_v, 1)
         d2 = (vx - px) ** 2 + (vy - py) ** 2 + (vz - pz) ** 2
         best = jnp.minimum(best, jnp.min(d2, axis=0, keepdims=True))
     # broadcast to 8 sublanes: a 1-sublane block is not a legal block shape
     # and a size-1 output dim gets the degenerate T(1,128) layout that XLA
     # stack-allocates in scoped vmem (see min_dist_pallas)
-    out_ref[...] = jnp.broadcast_to(jnp.sqrt(best), out_ref.shape)
+    out_ref[0] = jnp.broadcast_to(jnp.sqrt(best), out_ref.shape[1:])
 
 
 @partial(jax.jit, static_argnames=("tile_n", "tile_v", "interpret"))
@@ -193,42 +193,37 @@ def min_dist_pallas(points: jax.Array, verts: jax.Array,
 
     tile_n x tile_v is capped so the kernel's unrolled (tile_v, tile_n)
     distance intermediates fit the 16M VMEM stack (tile_n=2048 overflowed
-    it: ~29M of concurrent d2 temporaries). The output is (8, Np) — the
+    it: ~29M of concurrent d2 temporaries). The output is (B, 8, Np) — the
     best row broadcast across 8 sublanes, row 0 sliced outside — because a
-    1-sublane block is not a legal block shape and the 8x write
-    amplification is noise next to the O(N*V) compute. The batch dim is an
-    unrolled loop (B is 1 at inference, tiny in tests)."""
+    1-sublane block is not a legal block shape, a size-1 output dim gets a
+    degenerate T(1,128) layout, and the 8x write amplification is noise
+    next to the O(N*V) compute."""
     B, N, _ = points.shape
     V = verts.shape[1]
-    if B > 1:
-        return jnp.stack([
-            min_dist_pallas(points[b:b + 1], verts[b:b + 1], tile_n=tile_n,
-                            tile_v=tile_v, interpret=interpret)[0]
-            for b in range(B)])
     pad_n = (-N) % tile_n
     pad_v = (-V) % tile_v
-    pts = jnp.pad(points[0].astype(jnp.float32), ((0, pad_n), (0, 0)))
-    vts = jnp.pad(verts[0].astype(jnp.float32), ((0, pad_v), (0, 0)),
+    pts = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, pad_n), (0, 0)))
+    vts = jnp.pad(verts.astype(jnp.float32), ((0, 0), (0, pad_v), (0, 0)),
                   constant_values=_BIG)
     Np, Vp = N + pad_n, V + pad_v
     out = pl.pallas_call(
         partial(_min_dist_kernel, tile_v=tile_v, n_vert_tiles=Vp // tile_v),
-        grid=(Np // tile_n,),
+        grid=(B, Np // tile_n),
         in_specs=[
-            pl.BlockSpec((3, tile_n), lambda i: (0, i),
+            pl.BlockSpec((1, 3, tile_n), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Vp), lambda i: (0, 0),
+            pl.BlockSpec((1, 3, Vp), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, tile_n), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, 8, tile_n), lambda b, i: (b, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 8, Np), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=9 * Np * Vp, bytes_accessed=(Np + Vp) * 12,
+            flops=9 * B * Np * Vp, bytes_accessed=B * (Np + Vp) * 12,
             transcendentals=0),
         interpret=interpret,
-    )(pts.T, vts.T)
-    return out[0:1, :N]
+    )(pts.transpose(0, 2, 1), vts.transpose(0, 2, 1))
+    return out[:, 0, :N]
 
 
 @partial(jax.jit,

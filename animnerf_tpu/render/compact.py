@@ -154,27 +154,41 @@ def scatter_warped(warped_c, sel_c: jax.Array, R: int, K: int):
 
 
 def render_rays_compact(cfg: RendererConfig, warp_fn, field_fn,
-                        rays: jax.Array, sel_c: jax.Array,
-                        perturb: float = 0.0,
-                        key: Optional[jax.Array] = None,
-                        z_coarse: Optional[jax.Array] = None):
+                        rays: jax.Array, cap_c: int, knn_fn, blend_fn,
+                        keep_thr: float, perturb: float = 0.0,
+                        key: Optional[jax.Array] = None):
     """Compacted equivalent of render_rays_split for the training step.
 
-    The coarse pass is compacted via `sel_c` (B, cap) row-flat indices;
-    the fine pass runs DENSE over the scattered coarse warp grids — the
-    right choice for training, where importance sampling already
-    concentrates the fine depths on the body (measured 98.8% in-shell: a
-    fine capacity rung would PAD PAST the dense size; inference, whose
-    deterministic fine depths spread wider, compacts both passes via
-    compact_coarse/compact_fine directly).
+    The kNN runs DENSE — it sits at the VPU's brute-force compute floor
+    (~9 ops x N x V, PERF.md), and a separate min-distance pre-pass costs
+    nearly as much as the kNN itself, so pre-filtering cannot make the kNN
+    cheaper. Its nearest-neighbour distance IS the exact validity test for
+    free: blended distance is a convex combination of neighbour distances,
+    so dists[..., 0] >= keep_thr proves the sample invalid
+    (anim_nerf.py:305). Everything BEHIND the kNN — the LBS gather/blend
+    (with its scatter-backward), transform, and coarse MLP — runs only on
+    the `cap_c` in-shell survivors and scatters back into the dense grid.
 
-    `sel_c` is integer data (no tangent); z_coarse, when not given, is
-    drawn here with the dense path's exact key so its gradient into the
-    body params via the root-frame near/far tightening
-    (models/warp.py:148-150) is preserved. PRNG key splitting mirrors
-    render_rays_split exactly."""
+    The fine pass runs DENSE over the scattered coarse warp grids —
+    importance sampling already concentrates the fine depths on the body
+    (measured 98.8% in-shell: a fine capacity rung would PAD PAST the
+    dense size; inference, whose deterministic fine depths spread wider,
+    compacts both passes via compact_coarse/compact_fine directly).
+
+    knn_fn(xyz (B, N, 3)) -> (dists (B, N, k), idx); blend_fn(xyz, vd,
+    dists, idx) -> (cano, vd', valid) — the split warp halves
+    (models/warp.py::unpose_with_knn). Returns (out, count) where count is
+    the max per-row survivor total (the CompactTrainer's capacity
+    feedback; count > cap_c means survivors were dropped this step).
+
+    Gradient-exactness: sel indices are integers (no tangent); z_coarse
+    gradients into the body params via the root-frame near/far tightening
+    (models/warp.py:148-150) are preserved; fine depths are stop-gradient
+    in the dense path too (volume_renderer.py:238-240). PRNG key splitting
+    mirrors render_rays_split exactly."""
     from animnerf_tpu.render.volume_renderer import (
         _eval_field,
+        _ray_points,
         _warp,
         sample_coarse,
         sample_fine,
@@ -185,18 +199,32 @@ def render_rays_compact(cfg: RendererConfig, warp_fn, field_fn,
     k_coarse, k_fine, k_noise_c, k_noise_f, k_depth = jax.random.split(key, 5)
     del k_depth  # n_fine_depth unsupported under compaction
 
-    if z_coarse is None:
-        z_coarse = sample_coarse(cfg, rays, perturb, k_coarse)
-    out_c, weights, warped_c = compact_coarse(
-        cfg, warp_fn, field_fn, rays, z_coarse, sel_c, perturb, k_noise_c)
+    z_coarse = sample_coarse(cfg, rays, perturb, k_coarse)
+    B, R, Kc = z_coarse.shape
+    xyz, vd = _ray_points(rays, z_coarse)          # (B, R*Kc, 3)
+    dists, idx = knn_fn(xyz)
+    keep = dists[..., 0] < keep_thr
+    count = jnp.max(jnp.sum(keep, axis=1)).astype(jnp.int32)
+    sel_c = select_indices(keep, cap_c)
+
+    g = lambda t: jnp.take_along_axis(
+        t, sel_c[..., None] if t.ndim == 3 else sel_c, axis=1)
+    cano, vd2, valid = blend_fn(g(xyz), g(vd), g(dists), g(idx))
+    if vd2 is None:
+        vd2 = g(vd)
+    rgb, sigma = field_fn(cano, vd2, valid, False)
+    rgb_d, sigma_d = scatter_dense(rgb, sigma[..., 0], sel_c, R, Kc)
+    weights, rgb_c, depth_c, alpha_c = composite(
+        cfg, rgb_d, sigma_d, rays, z_coarse, perturb, k_noise_c)
+    out_c = {"rgbs": rgb_c, "alphas": alpha_c, "depths": depth_c}
+    warped_c = (cano, vd2, valid)
 
     if cfg.n_fine <= 0:
-        return out_c
+        return out_c, count
     # share_fine: the dense path stop-grads the coarse composite
     # (volume_renderer.py:222-229) — here the coarse outputs feed only the
     # (already stop-gradient) fine depths, so no stop_gradient is needed.
 
-    B, R, Kc = z_coarse.shape
     mids = 0.5 * (z_coarse[..., :-1] + z_coarse[..., 1:])
     z_f = sample_fine(cfg, mids, weights[..., 1:-1],
                       det=(perturb == 0), key=k_fine)
@@ -223,7 +251,7 @@ def render_rays_compact(cfg: RendererConfig, warp_fn, field_fn,
     out_f = {"rgbs": rgb_f, "alphas": alpha_f, "depths": depth_f}
 
     if cfg.share_fine:
-        return out_f
+        return out_f, count
     out = dict(out_c)
     out.update({k + "_fine": v for k, v in out_f.items()})
-    return out
+    return out, count

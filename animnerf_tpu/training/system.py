@@ -326,24 +326,20 @@ class AnimNeRFSystem:
     def compact_loss_fn(self, params: dict, batch: dict, key: jax.Array,
                         step: jax.Array, cap_c: int):
         """Differentiated loss with coarse-sample compaction fused into ONE
-        program: validity pre-pass (nearest-vertex Pallas min kernel) ->
-        on-device survivor select at the static capacity `cap_c` -> warp +
-        coarse MLP on survivors only -> dense fine pass (see
-        render_rays_compact). Bit-matching loss vs loss_fn; gradients flow
-        through the frame context / coarse depths exactly as in the dense
-        path (sel indices are integers, no tangents).
+        program: dense kNN (at its brute-force compute floor — its nearest
+        distance IS the exact validity test) -> on-device survivor select
+        at the static capacity `cap_c` -> LBS blend + coarse MLP on
+        survivors only -> dense fine pass (see render_rays_compact).
+        Bit-matching loss vs loss_fn; gradients flow through the frame
+        context / coarse depths exactly as in the dense path (sel indices
+        are integers, no tangents).
 
         details carries 'compact_count' (true survivor max over rows) and
         'compact_overflow' (count > cap_c: some survivors were dropped this
         step — the CompactTrainer detects this and re-runs the step at a
         larger capacity before the state advances, keeping training exact).
         """
-        from animnerf_tpu.ops.knn import min_vertex_distance
-        from animnerf_tpu.render.compact import (
-            render_rays_compact,
-            select_indices,
-        )
-        from animnerf_tpu.render.volume_renderer import sample_coarse
+        from animnerf_tpu.render.compact import render_rays_compact
 
         c = self.cfg
         folded = jax.random.fold_in(key, step)
@@ -358,29 +354,25 @@ class AnimNeRFSystem:
         rays_root = rays_to_root_frame(ctx, batch["rays"])
         d_code, a_code = self._codes(params, frame_idx)
 
-        # validity pre-pass + select (all no-tangent: min_vertex_distance
-        # stop-grads its inputs; indices are integers)
-        k_coarse = jax.random.split(k_render, 5)[0]
-        z_c = sample_coarse(self.renderer_cfg, rays_root, 1.0, k_coarse)
-        B, R, Kc = z_c.shape
-        xyz = (rays_root[..., None, 0:3]
-               + z_c[..., None] * rays_root[..., None, 3:6]).reshape(B, R * Kc, 3)
-        keep = min_vertex_distance(xyz, ctx.verts) \
-            < self.scene_cfg.dis_threshold
-        count = jnp.max(jnp.sum(keep, axis=1)).astype(jnp.int32)
-        sel_c = select_indices(keep, cap_c)
-
         def warp_fn(xyz, viewdir):
             return self.scene.warp_points(ctx, xyz, viewdir)
+
+        def knn_fn(xyz):
+            return self.scene.warp_knn(ctx, xyz)
+
+        def blend_fn(xyz, viewdir, dists, idx):
+            return self.scene.warp_points_with_knn(ctx, xyz, viewdir,
+                                                   dists, idx)
 
         def field_fn(xyz, viewdir, valid, use_fine):
             return self.scene.field_points(
                 params["anim_nerf"], xyz, viewdir, valid, use_fine,
                 deformation_code=d_code, apperance_code=a_code)
 
-        results = render_rays_compact(self.renderer_cfg, warp_fn, field_fn,
-                                      rays_root, sel_c, perturb=1.0,
-                                      key=k_render, z_coarse=z_c)
+        results, count = render_rays_compact(
+            self.renderer_cfg, warp_fn, field_fn, rays_root, cap_c,
+            knn_fn, blend_fn, self.scene_cfg.dis_threshold,
+            perturb=1.0, key=k_render)
         loss, details = self.compute_loss(
             params, results, batch["rgbs"], batch["alphas"], ctx, k_loss,
             fg_points=batch.get("fg_points"),
