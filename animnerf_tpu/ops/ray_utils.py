@@ -149,3 +149,33 @@ def sample_pixels(
         px, py = px.ravel(), py.ravel()
 
     return np.stack([px, py], axis=-1).astype(np.int64)
+
+
+def ndc_rays(H: int, W: int, focal: float, near, rays_o: np.ndarray,
+             rays_d: np.ndarray):
+    """World rays -> NDC cube rays (unbounded forward-facing scenes).
+
+    Parity: reference utils/ray_utils.py:124-164 (dead code in the
+    reference's live human-body path, where the +-1 m root-frame shell
+    bounds every scene — provided for API completeness). Origins are first
+    advanced onto the near plane, then the standard NeRF NDC projection is
+    applied; returns (rays_o_ndc, rays_d_ndc).
+    """
+    o, d = np.asarray(rays_o, np.float32), np.asarray(rays_d, np.float32)
+    near = np.broadcast_to(np.asarray(near, np.float32), o[..., 2].shape)
+
+    t = -(near + o[..., 2]) / d[..., 2]
+    o = o + t[..., None] * d
+
+    ox_oz = o[..., 0] / o[..., 2]
+    oy_oz = o[..., 1] / o[..., 2]
+    sx, sy = -2.0 * focal / W, -2.0 * focal / H
+
+    o0 = sx * ox_oz
+    o1 = sy * oy_oz
+    o2 = 1.0 + 2.0 * near / o[..., 2]
+    d0 = sx * (d[..., 0] / d[..., 2] - ox_oz)
+    d1 = sy * (d[..., 1] / d[..., 2] - oy_oz)
+    d2 = 1.0 - o2
+    return (np.stack([o0, o1, o2], axis=-1),
+            np.stack([d0, d1, d2], axis=-1))

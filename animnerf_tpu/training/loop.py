@@ -189,6 +189,7 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
     step = start_step
     t_start = time.time()
     rays_per_step = cfg.train.batch_size * cfg.train.subsamplesize**2
+    _last_log_step, _last_log_time = 0, t_start
     metrics = {"loss": float("nan"), "psnr": float("nan")}
 
     for epoch in range(cfg.train.max_epochs):
@@ -203,7 +204,12 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
             step += 1
             if step % log_every == 0 or step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
-                m["rays_per_sec"] = rays_per_step * step / (time.time() - t_start)
+                # windowed rate (since the last log), not a cumulative
+                # average — the first window absorbs the compile
+                now = time.time()
+                m["rays_per_sec"] = (rays_per_step * (step - _last_log_step)
+                                     / max(now - _last_log_time, 1e-9))
+                _last_log_step, _last_log_time = step, now
                 lr_fn = getattr(system, "_lr_schedule", None)
                 if lr_fn is not None:
                     m["lr"] = float(lr_fn(step))

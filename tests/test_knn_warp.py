@@ -297,3 +297,38 @@ def test_min_dist_pallas_interpret_matches_bruteforce():
                            interpret=True)
     np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref),
                                atol=2e-4)
+
+
+def test_ndc_rays_projection_properties():
+    """NDC conversion (reference utils/ray_utils.py:124-164): origins land
+    on the z = -1 near face, and points along each world ray map onto the
+    corresponding NDC line (the projection is a line-preserving map):
+    project(o + t*d) == o_ndc + t'*d_ndc for some t' in [0, 1)."""
+    from animnerf_tpu.ops.ray_utils import ndc_rays
+
+    rng = np.random.default_rng(4)
+    H = W = 64
+    focal = 80.0
+    o = np.array([[0.1, -0.2, 0.0], [0.0, 0.0, 0.5]], np.float32)
+    d = np.stack([rng.normal(scale=0.2, size=2).astype(np.float32),
+                  rng.normal(scale=0.2, size=2).astype(np.float32),
+                  -np.ones(2, np.float32)], axis=-1)
+    near = 1.0
+    o_n, d_n = ndc_rays(H, W, focal, near, o, d)
+    # shifted origin sits on the near plane => o2 = 1 + 2*near/(-near) = -1
+    np.testing.assert_allclose(o_n[:, 2], -1.0, atol=1e-6)
+
+    def project(p):
+        return np.stack([-2 * focal / W * p[..., 0] / p[..., 2],
+                         -2 * focal / H * p[..., 1] / p[..., 2],
+                         1.0 + 2.0 * near / p[..., 2]], axis=-1)
+
+    # t beyond the near-plane shift (max (near + o_z)/|d_z| = 1.5 here),
+    # so every tested point lies in front of the shifted origin
+    for t in (2.0, 3.0, 10.0):
+        p = o + t * d
+        q = project(p)                      # the world point in NDC
+        # q must lie on the NDC ray: (q - o_n) parallel to d_n
+        lam = (q - o_n)[:, 2] / d_n[:, 2]
+        np.testing.assert_allclose(q, o_n + lam[:, None] * d_n, atol=1e-5)
+        assert (lam >= 0).all() and (lam < 1).all()  # far=inf -> t'=1
