@@ -43,15 +43,9 @@ class Renderer:
         self.mesh = mesh
         self._render = jax.jit(self._render_fn, static_argnames=())
         self._maybe_hit = jax.jit(self._maybe_hit_fn)
-        self._prepass = jax.jit(self._prepass_fn)
-        self._coarse = jax.jit(self._coarse_fn)
-        self._fine = jax.jit(self._fine_fn)
-        # device-side compaction: flat keep mask -> first `cap` survivor
-        # indices (padded with 0 — padded entries recompute index 0's value
-        # and scatter it again, which is exact). Compiled per ladder rung.
-        self._select = jax.jit(
-            lambda keep, cap: jnp.nonzero(keep, size=cap, fill_value=0)[0]
-            .astype(jnp.int32), static_argnames=("cap",))
+        self._fused = jax.jit(self._fused_fn,
+                              static_argnames=("cap_c", "cap_f"))
+        self._caps: dict = {}  # ray count -> (cap_c, cap_f) rungs
 
     def _render_fn(self, params, body_params, body_tmpl, rays, P):
         ctx = prepare_frame(self.system.body_model, body_params, body_tmpl)
@@ -99,15 +93,10 @@ class Renderer:
     # compositing. Bit-exact: skipped samples' rgb never contributes
     # (weight is exactly 0) and their sigma fill is identical.
     compact_samples: bool = True
-    # compacted point counts are padded up a 1.5x-geometric ladder so a
-    # handful of compiled shapes cover all slabs/views
+    # compacted point capacities are rounded up to multiples of this
+    # quantum (+10% headroom) so per-view survivor jitter reuses a handful
+    # of compiled programs
     compact_quantum: int = 8192
-
-    def _pad_ladder(self, n: int) -> int:
-        size = self.compact_quantum
-        while size < n:
-            size = int(size * 3 // 2)
-        return size
 
     def _compaction_applicable(self) -> bool:
         cfg = self.system.renderer_cfg
@@ -125,136 +114,113 @@ class Renderer:
         d = jnp.einsum("ij,brj->bri", P[:3, :3], rays_root[..., 3:6])
         return jnp.concatenate([o, d, rays_root[..., 6:8]], axis=-1)
 
-    def _prepass_fn(self, body_params, body_tmpl, rays, P):
-        """Phase A: frame geometry, coarse depths, validity pre-pass.
+    def _quantize(self, n: int) -> int:
+        """Capacity rung for survivor count n: 10% headroom rounded up to
+        a quantum that scales with n (~1/16 of it), so rungs are a small
+        DETERMINISTIC set for any count — per-view jitter reuses compiled
+        programs and separate processes land on the same rungs (the
+        persistent compilation cache then removes their compiles
+        entirely). Overflow re-renders exactly at the larger rung."""
+        q = self.compact_quantum
+        while q * 16 < n:
+            q *= 2
+        return max(q, -(-int(n * 1.1) // q) * q)
 
-        Returns (ctx, rays_root, z_coarse, keep (1, R*Kc) bool)."""
+    def _fused_fn(self, params, body_params, body_tmpl, rays, P,
+                  cap_c: int, cap_f: int):
+        """The whole compacted frame as ONE program: frame geometry,
+        coarse validity pre-pass (min-dist Pallas kernel), on-device
+        survivor select, compacted coarse warp+MLP, fine-depth proposal +
+        its pre-pass, compacted fine pass. Returns (out, n_c, n_f); counts
+        above the static capacities mean survivors were dropped — the
+        caller re-renders at the true rung (exact)."""
         from animnerf_tpu.ops.knn import min_vertex_distance
-        from animnerf_tpu.render.volume_renderer import sample_coarse
+        from animnerf_tpu.render.compact import (
+            compact_coarse,
+            compact_fine,
+            select_indices,
+        )
+        from animnerf_tpu.render.volume_renderer import (
+            sample_coarse,
+            sample_fine,
+        )
 
         cfg = self.system.renderer_cfg
+        thr = self.system.scene_cfg.dis_threshold
+        scene = self.system.scene
         ctx = prepare_frame(self.system.body_model, body_params, body_tmpl)
         rays_root = self._rays_root_rotated(ctx, rays, P)
-        z_c = sample_coarse(cfg, rays_root, 0.0, None)  # (1, R, Kc)
+        z_c = sample_coarse(cfg, rays_root, 0.0, None)
         B, R, Kc = z_c.shape
-        xyz = (rays_root[..., None, 0:3]
-               + z_c[..., None] * rays_root[..., None, 3:6]).reshape(B, R * Kc, 3)
-        dmin = min_vertex_distance(xyz, ctx.verts)
-        keep = dmin < self.system.scene_cfg.dis_threshold
-        return ctx, rays_root, z_c, keep, jnp.sum(keep, dtype=jnp.int32)
 
-    def _points_at(self, rays_root, z_flat, sel, K):
-        """Gather the sample points/viewdirs selected by flat indices
-        sel (N,) into the (R*K)-flattened sample grid."""
-        ray_i = sel // K
-        rays_sel = rays_root[0, ray_i]                       # (N, 8)
-        z_sel = z_flat[sel]                                  # (N,)
-        xyz = rays_sel[:, 0:3] + z_sel[:, None] * rays_sel[:, 3:6]
-        return xyz[None], rays_sel[None, :, 3:6]             # (1,N,3) x2
+        def keep_of(z, K):
+            xyz = (rays_root[..., None, 0:3]
+                   + z[..., None] * rays_root[..., None, 3:6]
+                   ).reshape(B, R * K, 3)
+            keep = min_vertex_distance(xyz, ctx.verts) < thr
+            return keep, jnp.max(jnp.sum(keep, axis=1)).astype(jnp.int32)
 
-    def _coarse_fn(self, params, ctx, rays_root, z_c, sel):
-        """Phase B: warp+MLP on compacted coarse samples, dense composite,
-        fine-depth proposal + its validity pre-pass."""
-        from animnerf_tpu.ops.knn import min_vertex_distance
-        from animnerf_tpu.render.volume_renderer import composite, sample_fine
+        keep_c, n_c = keep_of(z_c, Kc)
+        sel_c = select_indices(keep_c, cap_c)
 
-        cfg = self.system.renderer_cfg
-        scene = self.system.scene
-        B, R, Kc = z_c.shape
-        from animnerf_tpu.models.anim_nerf import SIGMA_OUTSIDE
+        def warp_fn(xyz, viewdir):
+            return scene.warp_points(ctx, xyz, viewdir)
 
-        xyz, vd = self._points_at(rays_root, z_c.reshape(-1), sel, Kc)
-        cano, vd2, valid = scene.warp_points(ctx, xyz, vd)
-        rgb, sigma = scene.field_points(params["anim_nerf"], cano, vd2,
-                                        valid, use_fine=False)
+        def field_fn(xyz, viewdir, valid, use_fine):
+            return scene.field_points(params["anim_nerf"], xyz, viewdir,
+                                      valid, use_fine)
 
-        sigma_d = jnp.full((R * Kc,), SIGMA_OUTSIDE, sigma.dtype)
-        sigma_d = sigma_d.at[sel].set(sigma[0, :, 0]).reshape(1, R, Kc)
-        rgb_d = jnp.zeros((R * Kc, 3), rgb.dtype)
-        rgb_d = rgb_d.at[sel].set(rgb[0]).reshape(1, R, Kc, 3)
+        out, weights, warped_c = compact_coarse(
+            cfg, warp_fn, field_fn, rays_root, z_c, sel_c, 0.0, None)
+        if cfg.n_fine <= 0:
+            return out, n_c, jnp.int32(0)
 
-        weights, rgb_c, depth_c, alpha_c = composite(
-            cfg, rgb_d, sigma_d, rays_root, z_c, 0.0, None)
-        out = {"rgbs": rgb_c, "alphas": alpha_c, "depths": depth_c}
-
-        z_f = keep_f = n_f = None
-        if cfg.n_fine > 0:
-            mids = 0.5 * (z_c[..., :-1] + z_c[..., 1:])
-            z_f = sample_fine(cfg, mids, weights[..., 1:-1], det=True,
-                              key=None)
-            xyz_f = (rays_root[..., None, 0:3]
-                     + z_f[..., None] * rays_root[..., None, 3:6]
-                     ).reshape(B, R * cfg.n_fine, 3)
-            keep_f = min_vertex_distance(xyz_f, ctx.verts) \
-                < self.system.scene_cfg.dis_threshold
-            n_f = jnp.sum(keep_f, dtype=jnp.int32)
-        return out, z_f, keep_f, n_f, (cano, vd2, valid)
-
-    def _fine_fn(self, params, ctx, rays_root, z_c, z_f, sel_c, warped_c,
-                 sel_f):
-        """Phase C: warp compacted fine samples, one fine-MLP pass over
-        (compacted coarse + fine), dense merge-sort composite."""
-        from animnerf_tpu.models.anim_nerf import SIGMA_OUTSIDE
-        from animnerf_tpu.render.volume_renderer import composite
-
-        cfg = self.system.renderer_cfg
-        scene = self.system.scene
-        B, R, Kc = z_c.shape
-        Kf = z_f.shape[-1]
-        Kall = Kc + Kf
-
-        xyz_f, vd_f = self._points_at(rays_root, z_f.reshape(-1), sel_f, Kf)
-        cano_f, vd_f2, valid_f = scene.warp_points(ctx, xyz_f, vd_f)
-
-        cano_c, vd_c, valid_c = warped_c
-        cano = jnp.concatenate([cano_c, cano_f], axis=1)
-        vd = None if vd_c is None else jnp.concatenate([vd_c, vd_f2], axis=1)
-        valid = jnp.concatenate([valid_c, valid_f], axis=1)
-        rgb, sigma = scene.field_points(params["anim_nerf"], cano, vd, valid,
-                                        use_fine=True)
-
-        # dense concat layout (R, Kc + Kf): coarse slots first — the same
-        # order the dense renderer concatenates before its merge sort
-        idx_c = (sel_c // Kc) * Kall + (sel_c % Kc)
-        idx_f = (sel_f // Kf) * Kall + Kc + (sel_f % Kf)
-        idx_all = jnp.concatenate([idx_c, idx_f])
-        sigma_d = jnp.full((R * Kall,), SIGMA_OUTSIDE, sigma.dtype)
-        sigma_d = sigma_d.at[idx_all].set(sigma[0, :, 0]).reshape(1, R, Kall)
-        rgb_d = jnp.zeros((R * Kall, 3), rgb.dtype)
-        rgb_d = rgb_d.at[idx_all].set(rgb[0]).reshape(1, R, Kall, 3)
-
-        z_all = jnp.concatenate([z_c, z_f], axis=-1)
-        order = jnp.argsort(z_all, axis=-1)
-        z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
-        sigma_s = jnp.take_along_axis(sigma_d, order, axis=-1)
-        rgb_s = jnp.take_along_axis(rgb_d, order[..., None], axis=2)
-
-        _, rgb_f, depth_f, alpha_f = composite(
-            cfg, rgb_s, sigma_s, rays_root, z_sorted, 0.0, None)
-        return {"rgbs": rgb_f, "alphas": alpha_f, "depths": depth_f}
+        mids = 0.5 * (z_c[..., :-1] + z_c[..., 1:])
+        z_f = sample_fine(cfg, mids, weights[..., 1:-1], det=True, key=None)
+        keep_f, n_f = keep_of(z_f, cfg.n_fine)
+        sel_f = select_indices(keep_f, cap_f)
+        out = compact_fine(cfg, warp_fn, field_fn, rays_root, z_c, z_f,
+                           sel_c, warped_c, sel_f, 0.0, None)
+        return out, n_c, n_f
 
     def _render_compact(self, params, body_params, body_tmpl,
                         rays: np.ndarray, P: np.ndarray):
         """Compacted render of a whole frame (or the culled active-ray
-        set) as ONE coarse + ONE fine program. The only host syncs are the
-        two 4-byte survivor counts that pick the ladder rungs; survivor
-        index selection runs on-device (jnp.nonzero with a static size)."""
-        cfg = self.system.renderer_cfg
-        ctx, rays_root, z_c, keep, n_c = self._prepass(
-            body_params, body_tmpl, jnp.asarray(rays)[None], jnp.asarray(P))
-        cap_c = self._pad_ladder(max(int(n_c), 1))
-        sel_c = self._select(keep[0], cap_c)
-        out, z_f, keep_f, n_f, warped_c = self._coarse(
-            params, ctx, rays_root, z_c, sel_c)
-        if cfg.n_fine > 0:
-            cap_f = self._pad_ladder(max(int(n_f), 1))
-            sel_f = self._select(keep_f[0], cap_f)
-            out = self._fine(params, ctx, rays_root, z_c, z_f, sel_c,
-                             warped_c, sel_f)
-        img = np.asarray(out["rgbs"][0])
-        mask = np.asarray(out["alphas"][0, :, 0])
-        depth = np.asarray(out["depths"][0, :, 0])
-        return img, mask, depth
+        set): one device program, one host sync (the count/overflow check
+        rides the same fetch as the frame outputs). Capacities are
+        predicted per ray-count from previous frames; an overflow
+        re-renders exactly at the larger rung."""
+        R = rays.shape[0]
+        if R not in self._caps:
+            # prime generously (coarse survivors measured ~14% of samples,
+            # fine up to ~40% — fine depths are chaotic under untrained
+            # params): one program usually covers every view of a stream,
+            # instead of ratchet-climbing through several compiles
+            cfg0 = self.system.renderer_cfg
+            self._caps[R] = (self._quantize(int(0.18 * R * cfg0.n_coarse)),
+                             self._quantize(int(0.40 * R * max(cfg0.n_fine,
+                                                               1))))
+        cap_c, cap_f = self._caps[R]
+        args = (params, body_params, body_tmpl,
+                jnp.asarray(rays)[None], jnp.asarray(P))
+        out, n_c, n_f = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
+        # ONE device->host fetch for outputs AND counts (each separate
+        # fetch pays a full host<->device round trip)
+        img, mask, depth, i_c, i_f = jax.device_get(
+            (out["rgbs"][0], out["alphas"][0, :, 0],
+             out["depths"][0, :, 0], n_c, n_f))
+        i_c, i_f = int(i_c), int(i_f)
+        if i_c > cap_c or i_f > cap_f:  # exact re-render at the true rung
+            # capacities only ever move ON overflow — ratcheting them on
+            # every observed count would creep across rungs and recompile
+            cap_c = max(cap_c, self._quantize(i_c))
+            cap_f = max(cap_f, self._quantize(i_f))
+            self._caps[R] = (cap_c, cap_f)
+            out, n_c, n_f = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
+            img, mask, depth = jax.device_get(
+                (out["rgbs"][0], out["alphas"][0, :, 0],
+                 out["depths"][0, :, 0]))
+        return np.asarray(img), np.asarray(mask), np.asarray(depth)
 
     def _maybe_hit_fn(self, body_params, body_tmpl, rays, P):
         """(B, R) bool: could any sample of this ray be within
@@ -310,9 +276,9 @@ class Renderer:
                     and self.system.scene_cfg.use_unpose
                     and cfg.n_fine_depth == 0)
         if can_cull:
-            maybe, fars = self._maybe_hit(
+            maybe, fars = jax.device_get(self._maybe_hit(
                 body_params, body_tmpl, jnp.asarray(rays)[None],
-                jnp.asarray(P))
+                jnp.asarray(P)))  # one fetch: each costs a full round trip
             maybe = np.asarray(maybe[0])
             fars = np.asarray(fars[0])
             active = np.nonzero(maybe)[0]
@@ -325,9 +291,14 @@ class Renderer:
                 depth = fars.astype(np.float32) if cfg.white_bkgd \
                     else np.zeros(n, np.float32)
                 if len(active):
-                    # pad to an 8k quantum so per-view active counts reuse a
-                    # handful of compiled shapes instead of recompiling
-                    quantum = 8192
+                    # pad to a coarse quantum: under the compact renderer a
+                    # new active-ray count compiles a whole new fused
+                    # program, so per-view counts must collapse onto ONE
+                    # shape (the padding duplicates the last active ray —
+                    # its few in-shell samples recompute, which is exact
+                    # and adds ~% of work, far cheaper than a recompile)
+                    quantum = 65536 if self._compaction_applicable() \
+                        else 8192
                     pad = (-len(active)) % quantum
                     act = np.concatenate(
                         [active, np.repeat(active[-1:], pad)]) \
