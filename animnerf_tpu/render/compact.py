@@ -37,6 +37,7 @@ from animnerf_tpu.models.anim_nerf import SIGMA_OUTSIDE
 from animnerf_tpu.render.volume_renderer import (
     RendererConfig,
     composite,
+    sort_payload,
 )
 
 
@@ -123,13 +124,10 @@ def compact_fine(cfg: RendererConfig, warp_fn, field_fn, rays: jax.Array,
     rgb_d, sigma_d = scatter_dense(rgb, sigma[..., 0], sel_all, R, Kall)
 
     z_all = jnp.concatenate([z_c, z_f], axis=-1)
-    order = jnp.argsort(z_all, axis=-1)
-    z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
-    sigma_s = jnp.take_along_axis(sigma_d, order, axis=-1)
-    rgb_s = jnp.take_along_axis(rgb_d, order[..., None], axis=2)
-
+    z_sorted, (sigma_s, rgb_s) = sort_payload(
+        z_all, [sigma_d[..., None], rgb_d])
     _, rgb_f, depth_f, alpha_f = composite(
-        cfg, rgb_s, sigma_s, rays, z_sorted, perturb, k_noise)
+        cfg, rgb_s, sigma_s[..., 0], rays, z_sorted, perturb, k_noise)
     return {"rgbs": rgb_f, "alphas": alpha_f, "depths": depth_f}
 
 
@@ -234,18 +232,17 @@ def render_rays_compact(cfg: RendererConfig, warp_fn, field_fn,
     cano_f, vd_f, valid_f = _warp(warp_fn, rays, z_f)
 
     z_all = jnp.concatenate([z_coarse, z_f], axis=-1)
-    order = jnp.argsort(z_all, axis=-1)
-    z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
 
-    def merge(a, b):
-        if a is None or b is None:
-            return None
-        cat = jnp.concatenate([a, b], axis=2)
-        return jnp.take_along_axis(cat, order[..., None], axis=2)
+    def cat(a, b):
+        return None if a is None or b is None \
+            else jnp.concatenate([a, b], axis=2)
 
-    rgbs, sigmas = _eval_field(
-        field_fn, merge(cano_d, cano_f), merge(vd_d, vd_f),
-        merge(valid_d, valid_f), use_fine=True)
+    # one packed permutation gather (see volume_renderer.sort_payload)
+    z_sorted, (cano_s, vd_s, valid_s) = sort_payload(
+        z_all, [cat(cano_d, cano_f), cat(vd_d, vd_f),
+                cat(valid_d, valid_f)])
+    rgbs, sigmas = _eval_field(field_fn, cano_s, vd_s, valid_s,
+                               use_fine=True)
     _, rgb_f, depth_f, alpha_f = composite(
         cfg, rgbs, sigmas, rays, z_sorted, perturb, k_noise_f)
     out_f = {"rgbs": rgb_f, "alphas": alpha_f, "depths": depth_f}
