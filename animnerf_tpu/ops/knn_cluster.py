@@ -244,11 +244,19 @@ def knn_two_stage(points: jax.Array, verts: jax.Array, k: int = 4,
     i_orig = jnp.take_along_axis(
         perm, i_sorted.reshape(B, -1), axis=1).reshape(B, N, k)
 
-    # far lanes (no cluster swept, top_d == inf): report the conservative
-    # bound, > thr by construction (min_lb > thr for every such point)
+    # Far points: the documented contract is a reported distance > thr and
+    # index 0 on EVERY lane. Two cases: (a) no cluster swept (top_d == inf
+    # — alone in its tile): report the conservative min_lb bound; (b) swept
+    # anyway because voting points share its tile: the partial sweep
+    # returns finite distances (possibly to boundary-cluster PAD slots,
+    # i_sorted >= V). Both are detected per POINT by nearest-reported
+    # distance > thr — a true distance to some vertex is >= the true
+    # minimum, and within-thr points are exact (their clusters all voted),
+    # so their nearest is <= thr.
     if thr > 0:
         bound = jnp.maximum(min_lb[:, :N, None], thr * 1.0001)
-        far = ~jnp.isfinite(d)
-        d = jnp.where(far, bound, d)
-        i_orig = jnp.where(far, 0, i_orig)
+        d = jnp.where(~jnp.isfinite(d), bound, d)
+        far_pt = d[..., 0:1] > thr
+        d = jnp.where(far_pt, jnp.maximum(d, thr * 1.0001), d)
+        i_orig = jnp.where(far_pt, 0, i_orig)
     return jax.lax.stop_gradient(d), i_orig

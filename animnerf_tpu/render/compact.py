@@ -10,12 +10,13 @@ therefore only need to run on the in-shell survivors:
 
   keep  = nearest-vertex-distance(sample) < dis_threshold   (cheap pre-pass)
   sel   = first-`cap` survivor indices per batch row (cap from a geometric
-          ladder of compiled sizes; padded with index 0)
+          ladder of compiled sizes; padded with the out-of-bounds index N)
   dense = scatter(compute(gather(sel)))  ->  composite as usual
 
 Bit-exactness: non-selected slots receive the same SIGMA_OUTSIDE fill and
 rgb = 0 the dense path's validity masking produces; padded `sel` entries
-recompute their row's sample 0 and scatter the identical value again; the
+gather clamped (duplicate) inputs but their scatter lanes are DROPPED
+(out-of-bounds index), so they write nothing and carry zero gradient; the
 composite consumes the same dense grids (incl. the sigma-noise draw, which
 is applied on the dense grid with the same key). Gradients: selected
 samples' paths are untouched; unselected samples carry zero gradient in
@@ -42,10 +43,28 @@ from animnerf_tpu.render.volume_renderer import (
 
 
 def select_indices(keep: jax.Array, cap: int) -> jax.Array:
-    """(B, N) bool -> (B, cap) int32 survivor indices, 0-padded per row."""
+    """(B, N) bool -> (B, cap) int32 survivor indices.
+
+    Padded lanes carry the OUT-OF-BOUNDS index N (== keep.shape[1]): the
+    scatters below drop them (mode="drop") and the gathers clamp them
+    (mode="clip"), so padding neither writes values nor routes gradient.
+    (Padding with 0 was a bug: when a row's flat sample 0 was a real
+    survivor, the duplicate scatter writes were forward-exact but the
+    .at[].set VJP routed the full cotangent to EVERY duplicate, scaling
+    sample 0's gradient by ~the pad count.)"""
+    n = keep.shape[1]
     return jax.vmap(
-        lambda row: jnp.nonzero(row, size=cap, fill_value=0)[0]
+        lambda row: jnp.nonzero(row, size=cap, fill_value=n)[0]
     )(keep).astype(jnp.int32)
+
+
+def _flat_scatter_indices(sel: jax.Array, n: int) -> jax.Array:
+    """Row-offset sel into the flattened (B*n,) grid; padded lanes
+    (sel >= n) map to B*n, out of bounds for EVERY row, so mode="drop"
+    discards them instead of corrupting the next row."""
+    B = sel.shape[0]
+    flat = sel + (jnp.arange(B, dtype=sel.dtype) * n)[:, None]
+    return jnp.where(sel >= n, B * n, flat).ravel()
 
 
 def gather_samples(rays: jax.Array, z_flat: jax.Array, sel: jax.Array,
@@ -53,8 +72,9 @@ def gather_samples(rays: jax.Array, z_flat: jax.Array, sel: jax.Array,
     """rays (B, R, 8), z_flat (B, R*K), sel (B, cap) -> per-sample
     xyz (B, cap, 3), viewdir (B, cap, 3)."""
     ray_i = sel // K
-    rays_sel = jnp.take_along_axis(rays, ray_i[..., None], axis=1)
-    z_sel = jnp.take_along_axis(z_flat, sel, axis=1)
+    rays_sel = jnp.take_along_axis(rays, ray_i[..., None], axis=1,
+                                   mode="clip")
+    z_sel = jnp.take_along_axis(z_flat, sel, axis=1, mode="clip")
     xyz = rays_sel[..., 0:3] + z_sel[..., None] * rays_sel[..., 3:6]
     return xyz, rays_sel[..., 3:6]
 
@@ -64,11 +84,13 @@ def scatter_dense(rgb: jax.Array, sigma: jax.Array, sel: jax.Array,
     """Scatter compacted (B, cap, ...) rgb/sigma into dense (B, R, K[,3])
     grids with the SIGMA_OUTSIDE / zero fill of the dense validity mask."""
     B = sel.shape[0]
-    flat = (sel + (jnp.arange(B, dtype=sel.dtype) * (R * K))[:, None]).ravel()
+    flat = _flat_scatter_indices(sel, R * K)
     sigma_d = jnp.full((B * R * K,), SIGMA_OUTSIDE, sigma.dtype)
-    sigma_d = sigma_d.at[flat].set(sigma.reshape(-1)).reshape(B, R, K)
+    sigma_d = sigma_d.at[flat].set(sigma.reshape(-1),
+                                   mode="drop").reshape(B, R, K)
     rgb_d = jnp.zeros((B * R * K, 3), rgb.dtype)
-    rgb_d = rgb_d.at[flat].set(rgb.reshape(-1, 3)).reshape(B, R, K, 3)
+    rgb_d = rgb_d.at[flat].set(rgb.reshape(-1, 3),
+                               mode="drop").reshape(B, R, K, 3)
     return rgb_d, sigma_d
 
 
@@ -139,11 +161,12 @@ def scatter_warped(warped_c, sel_c: jax.Array, R: int, K: int):
     value-identical to the dense renderer's warp-dedup reuse."""
     cano, vd, valid = warped_c
     B, cap = sel_c.shape
-    flat = (sel_c + (jnp.arange(B, dtype=sel_c.dtype) * (R * K))[:, None])
+    flat = _flat_scatter_indices(sel_c, R * K)
 
     def scat(t, C):
         d = jnp.zeros((B * R * K, C), t.dtype)
-        return d.at[flat.ravel()].set(t.reshape(-1, C)).reshape(B, R, K, C)
+        return d.at[flat].set(t.reshape(-1, C),
+                              mode="drop").reshape(B, R, K, C)
 
     cano_d = scat(cano, 3)
     vd_d = scat(vd, 3)
@@ -206,7 +229,7 @@ def render_rays_compact(cfg: RendererConfig, warp_fn, field_fn,
     sel_c = select_indices(keep, cap_c)
 
     g = lambda t: jnp.take_along_axis(
-        t, sel_c[..., None] if t.ndim == 3 else sel_c, axis=1)
+        t, sel_c[..., None] if t.ndim == 3 else sel_c, axis=1, mode="clip")
     cano, vd2, valid = blend_fn(g(xyz), g(vd), g(dists), g(idx))
     if vd2 is None:
         vd2 = g(vd)

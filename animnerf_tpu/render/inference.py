@@ -210,16 +210,22 @@ class Renderer:
             (out["rgbs"][0], out["alphas"][0, :, 0],
              out["depths"][0, :, 0], n_c, n_f))
         i_c, i_f = int(i_c), int(i_f)
-        if i_c > cap_c or i_f > cap_f:  # exact re-render at the true rung
-            # capacities only ever move ON overflow — ratcheting them on
-            # every observed count would creep across rungs and recompile
+        # Exact re-render at the true rung, LOOPED: raising cap_c changes
+        # the coarse composite weights (the first render dropped coarse
+        # survivors), which moves the fine depths, so the retry's fine
+        # survivor count can differ from i_f — re-check until both counts
+        # fit. Deterministic inputs converge in 1-2 extra iterations.
+        # Capacities only ever move ON overflow — ratcheting them on
+        # every observed count would creep across rungs and recompile.
+        while i_c > cap_c or i_f > cap_f:
             cap_c = max(cap_c, self._quantize(i_c))
             cap_f = max(cap_f, self._quantize(i_f))
             self._caps[R] = (cap_c, cap_f)
             out, n_c, n_f = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
-            img, mask, depth = jax.device_get(
+            img, mask, depth, i_c, i_f = jax.device_get(
                 (out["rgbs"][0], out["alphas"][0, :, 0],
-                 out["depths"][0, :, 0]))
+                 out["depths"][0, :, 0], n_c, n_f))
+            i_c, i_f = int(i_c), int(i_f)
         return np.asarray(img), np.asarray(mask), np.asarray(depth)
 
     def _maybe_hit_fn(self, body_params, body_tmpl, rays, P):

@@ -524,15 +524,24 @@ class CompactTrainer:
             self._cap = max(self._cap, self._ladder(n))
             return new_state, details
 
-        # pipelined: no read-back on the hot path; poll an old count
+        # pipelined: no read-back on the hot path; poll old counts
         self._pending.append((cap, details["compact_count"]))
         self._since_sync += 1
-        if self._since_sync >= self.sync_every and self._pending:
-            cap_used, count = self._pending[0]
-            self._pending = self._pending[-1:]
+        if self._since_sync >= self.sync_every and len(self._pending) > 1:
+            # Drain EVERY entry except the newest (still in flight) and
+            # take the window max — sampling a single step per window
+            # missed overflows in the discarded steps, undercounting
+            # self.overflows vs the documented "bounded, detected"
+            # contract. Drained entries finished >= 1 step ago, so the
+            # int() reads don't stall the pipeline.
+            drained, self._pending = self._pending[:-1], self._pending[-1:]
             self._since_sync = 0
-            n = int(count)  # compute finished sync_every steps ago
-            if n > cap_used:
-                self.overflows += 1
-            self._cap = max(self._cap, self._ladder(int(n * self.margin)))
+            n_max = 0
+            for cap_used, count in drained:
+                n = int(count)
+                if n > cap_used:
+                    self.overflows += 1
+                n_max = max(n_max, n)
+            self._cap = max(self._cap,
+                            self._ladder(int(n_max * self.margin)))
         return new_state, details

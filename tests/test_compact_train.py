@@ -194,3 +194,106 @@ def test_pipelined_trainer_matches_dense():
     # the priming step may exact-re-run once (tiny quantum); after that the
     # margin capacity must absorb the steady-state counts
     assert trainer.overflows <= 1
+
+
+def test_compact_grad_exact_when_sample_zero_survives():
+    """Regression: select_indices used to pad with index 0; when a row's
+    FLAT sample 0 was a real survivor (first coarse sample of ray 0
+    in-shell — silhouette/limb rays), the duplicate scatter lanes were
+    forward-exact but the .at[].set VJP routed the full cotangent to every
+    duplicate, scaling sample 0's gradient by ~the pad count. Padding now
+    uses the out-of-bounds index (dropped by scatter, clamped by gather).
+
+    Controlled geometry: ray 0's first coarse sample sits exactly on a
+    vertex, capacity far exceeds the survivor count, gradients of the
+    compacted step must match the dense renderer's.
+    """
+    from animnerf_tpu.models.anim_nerf import SIGMA_OUTSIDE
+    from animnerf_tpu.render.compact import render_rays_compact, select_indices
+    from animnerf_tpu.render.volume_renderer import (
+        RendererConfig,
+        render_rays_split,
+    )
+
+    cfg = RendererConfig(n_coarse=4, n_fine=4, n_fine_depth=0,
+                         share_fine=False, white_bkgd=True)
+    thr = 0.2
+
+    # 4 rays from the origin; near=0.1 => ray 0's first sample at (0.1,0,0)
+    dirs = np.array([[1, 0, 0], [0, 1, 0], [-1, 0, 0], [0, 0, 1]],
+                    np.float32)
+    rays = np.zeros((1, 4, 8), np.float32)
+    rays[0, :, 3:6] = dirs
+    rays[0, :, 6] = 0.1
+    rays[0, :, 7] = 1.0
+
+    rng = np.random.default_rng(0)
+    # vertex 0 AT ray-0 sample-0; a few more near +x so some samples of
+    # ray 0 survive and everything else is far (>thr from all verts)
+    verts = np.concatenate([
+        np.array([[0.1, 0.0, 0.0]], np.float32),
+        np.array([0.4, 0, 0], np.float32)
+        + rng.normal(scale=0.05, size=(7, 3)).astype(np.float32),
+    ])[None]  # (1, 8, 3)
+    verts_j = jnp.asarray(verts)
+
+    def knn_fn(xyz):
+        d2 = jnp.sum((xyz[:, :, None] - verts_j[:, None]) ** 2, axis=-1)
+        d2s, idx = jax.lax.top_k(-d2, 4)
+        return jnp.sqrt(jnp.maximum(-d2s, 0.0)), idx
+
+    def make_fns(params):
+        def blend_fn(xyz, vd, dists, idx):
+            cano = jnp.tanh(xyz @ params["W1"])
+            valid = (dists[..., 0:1] < thr).astype(xyz.dtype)
+            return cano, None, valid
+
+        def warp_fn(xyz, vd):
+            d, i = knn_fn(xyz)
+            return blend_fn(xyz, vd, d, i)
+
+        def field_fn(cano, vd, valid, use_fine):
+            h = cano @ (params["Wf"] if use_fine else params["Wc"])
+            sigma = jnp.sum(h, axis=-1, keepdims=True)
+            if valid is not None:
+                sigma = jnp.where(valid > 0, sigma, SIGMA_OUTSIDE)
+            return jax.nn.sigmoid(h), sigma
+
+        return warp_fn, field_fn, blend_fn
+
+    params = {
+        "W1": jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32)),
+        "Wc": jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32)),
+        "Wf": jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32)),
+    }
+    rays_j = jnp.asarray(rays)
+
+    # sanity: flat sample 0 really is a survivor and the capacity pads
+    xyz0 = rays_j[..., None, 0:3] + jnp.reshape(
+        jnp.linspace(0.1, 0.775, 4), (1, 1, 4, 1)) * rays_j[..., None, 3:6]
+    d0, _ = knn_fn(xyz0.reshape(1, -1, 3))
+    keep0 = np.asarray(d0[..., 0] < thr)
+    assert keep0[0, 0], "geometry must make flat sample 0 a survivor"
+    n_surv = int(keep0.sum())
+    cap_c = 16
+    assert n_surv < cap_c
+    sel = np.asarray(select_indices(jnp.asarray(keep0), cap_c))
+    assert (sel[0, n_surv:] == keep0.shape[1]).all()  # OOB padding
+
+    def loss_dense(p):
+        warp_fn, field_fn, _ = make_fns(p)
+        out = render_rays_split(cfg, warp_fn, field_fn, rays_j, 0.0)
+        return sum(jnp.sum(v) for v in out.values())
+
+    def loss_compact(p):
+        warp_fn, field_fn, blend_fn = make_fns(p)
+        out, _ = render_rays_compact(cfg, warp_fn, field_fn, rays_j,
+                                     cap_c, knn_fn, blend_fn, thr, 0.0)
+        return sum(jnp.sum(v) for v in out.values())
+
+    l1, g1 = jax.value_and_grad(loss_dense)(params)
+    l2, g2 = jax.value_and_grad(loss_compact)(params)
+    assert float(l1) == float(l2)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
