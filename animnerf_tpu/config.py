@@ -146,6 +146,7 @@ def get_default_config() -> CfgNode:
             # --- TPU-specific (new) ---
             "compute_dtype": "float32",  # 'bfloat16' for the MLP fast path
             "remat": True,  # rematerialise MLP activations (mem vs +6% speed)
+            "fused_mlp": "auto",  # Pallas fused MLP: auto|on|off (TPU only)
             "mesh_shape": (-1,),         # device mesh over the 'data' axis
             "seed": 42,
             "train": {

@@ -57,6 +57,13 @@ class AnimNeRFConfig:
     # of point queries dominate HBM (a 16k-ray step OOMs a 16G chip without
     # this); recomputing the 8x256 trunk costs ~1/3 extra FLOPs.
     remat: bool = True
+    # Fully-fused Pallas MLP (ops/fused_mlp.py) for the rgb+sigma queries:
+    # "auto" enables it on TPU when the architecture matches the kernel
+    # (use_view=False, no codes, no DeRF — the flagship configuration);
+    # "on"/"off" force it. The normal-smoothness path (query_sigma /
+    # query_normal) always keeps the XLA MLP: it needs grad-of-grad, the
+    # kernel's custom VJP is first-order only.
+    fused_mlp: str = "auto"
 
 
 class AnimNeRFModel:
@@ -120,6 +127,21 @@ class AnimNeRFModel:
             return self.nerf_fine, ("nerf" if self.cfg.share_fine else "nerf_fine")
         return self.nerf, "nerf"
 
+    @cached_property
+    def use_fused_mlp(self) -> bool:
+        c = self.cfg
+        if c.fused_mlp == "off":
+            return False
+        arch_ok = (not c.use_view and c.deformation_dim == 0
+                   and c.apperance_dim == 0 and not c.use_deformation
+                   and 3 + 6 * c.freqs_xyz <= 128)
+        if not arch_ok:
+            return False
+        if c.fused_mlp == "on":
+            return True
+        # Pallas TPU lowering only; CPU would need interpret mode
+        return jax.default_backend() not in ("cpu",)
+
     # ---------------------------------------------------------- queries
 
     def _expand_code(self, code, n):
@@ -135,6 +157,19 @@ class AnimNeRFModel:
         """(B, N, 3) canonical points -> (rgb (B,N,3), sigma (B,N,1))."""
         module, key = self._field(use_fine)
         n = xyz.shape[1]
+
+        if self.use_fused_mlp:
+            from animnerf_tpu.models.embedding import positional_encoding
+            from animnerf_tpu.ops.fused_mlp import fused_nerf, pack_params
+
+            c = self.cfg
+            enc = positional_encoding(xyz, c.freqs_xyz)
+            lead = enc.shape[:-1]
+            ws, bs = pack_params(params[key], enc.shape[-1],
+                                 dtype=jnp.dtype(c.compute_dtype))
+            rgb, sigma = fused_nerf(enc.reshape(-1, enc.shape[-1]), ws, bs,
+                                    1024, c.compute_dtype)
+            return rgb.reshape(*lead, 3), sigma.reshape(*lead, 1)
 
         def apply_fn(p, xyz, viewdir, d_code, a_code):
             return module.apply(p, xyz, viewdir, d_code, a_code)

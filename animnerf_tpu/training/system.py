@@ -88,6 +88,7 @@ class AnimNeRFSystem:
             query_inside=c.query_inside,
             compute_dtype=c.get("compute_dtype", "float32"),
             remat=bool(c.get("remat", True)),
+            fused_mlp=str(c.get("fused_mlp", "auto")),
         )
         self.scene = AnimNeRFModel(self.scene_cfg)
         self.renderer_cfg = RendererConfig(

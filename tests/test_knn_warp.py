@@ -332,3 +332,74 @@ def test_ndc_rays_projection_properties():
         lam = (q - o_n)[:, 2] / d_n[:, 2]
         np.testing.assert_allclose(q, o_n + lam[:, None] * d_n, atol=1e-5)
         assert (lam >= 0).all() and (lam < 1).all()  # far=inf -> t'=1
+
+
+def test_knn_pallas_packed_quantization_bound():
+    """Packed-key kernel: per-rank distances within the 13-dropped-bit
+    quantization bound of the exact brute force (<= 2^-10 rel on d2), and
+    every reported index's TRUE distance also within that bound of the
+    exact rank distance (winners are exact under quantized ordering)."""
+    from animnerf_tpu.ops.knn import knn_bruteforce
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.normal(size=(2, 384, 3)).astype(np.float32))
+    verts = jnp.asarray(rng.normal(size=(2, 700, 3)).astype(np.float32))
+    d_ref, _ = knn_bruteforce(pts, verts, k=4)
+    d_pk, i_pk = knn_pallas(pts, verts, k=4, tile_n=128, tile_v=256,
+                            interpret=True, packed=True)
+    d_ref = np.asarray(d_ref)
+    rel = 2.0 ** -10  # on d2 => ~2^-11 on d; allow 2x slack for rank swaps
+    np.testing.assert_allclose(np.asarray(d_pk), d_ref,
+                               rtol=2 * rel, atol=1e-6)
+    d_true_at_idx = np.take_along_axis(
+        np.linalg.norm(np.asarray(pts)[:, :, None] - np.asarray(verts)[:, None],
+                       axis=-1),
+        np.asarray(i_pk), axis=-1)
+    np.testing.assert_allclose(d_true_at_idx, d_ref, rtol=2 * rel, atol=1e-6)
+    # ascending order must hold
+    assert (np.diff(np.asarray(d_pk), axis=-1) >= -1e-6).all()
+
+
+def test_knn_pallas_packed_exact_on_separated_rig():
+    """With vertex spacings far coarser than the quantization step the
+    packed kernel must return bit-identical indices to brute force."""
+    from animnerf_tpu.ops.knn import knn_bruteforce
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+    rng = np.random.default_rng(12)
+    # grid vertices with >=0.5 spacing; query points jittered off-grid
+    g = np.stack(np.meshgrid(*[np.arange(6, dtype=np.float32)] * 3,
+                             indexing="ij"), -1).reshape(-1, 3)
+    verts = jnp.asarray(np.tile(g[None], (1, 1, 1)))
+    pts = jnp.asarray(
+        (g[rng.integers(0, len(g), 200)]
+         + rng.uniform(0.05, 0.2, size=(200, 3))).astype(np.float32)[None])
+    d_ref, i_ref = knn_bruteforce(pts, verts, k=4)
+    d_pk, i_pk = knn_pallas(pts, verts, k=4, tile_n=128, tile_v=256,
+                            interpret=True, packed=True)
+    np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d_pk), np.asarray(d_ref),
+                               rtol=2.0 ** -9, atol=1e-6)
+
+
+def test_knn_pallas_packed_far_skip_semantics():
+    """far_skip under the packed kernel: far points report distances > thr
+    with index 0; the valid mask matches the exact kernel's."""
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+    rng = np.random.default_rng(13)
+    verts = jnp.asarray(rng.normal(scale=0.2, size=(1, 600, 3))
+                        .astype(np.float32))
+    near = rng.normal(scale=0.25, size=(1, 128, 3)).astype(np.float32)
+    far = rng.normal(scale=0.25, size=(1, 128, 3)).astype(np.float32) + 5.0
+    pts = jnp.asarray(np.concatenate([near, far], axis=1))
+
+    thr = 0.2
+    d_fs, i_fs = knn_pallas(pts, verts, tile_n=128, tile_v=256,
+                            interpret=True, far_skip=thr, packed=True)
+    d_ex, _ = knn_pallas(pts, verts, tile_n=128, tile_v=256,
+                         interpret=True, far_skip=0.0)
+    assert (np.asarray(d_fs)[:, 128:] > thr).all()
+    assert (np.asarray(i_fs)[:, 128:] == 0).all()
+    assert ((np.asarray(d_fs) < thr) == (np.asarray(d_ex) < thr)).all()
