@@ -159,16 +159,15 @@ class AnimNeRFModel:
         n = xyz.shape[1]
 
         if self.use_fused_mlp:
-            from animnerf_tpu.models.embedding import positional_encoding
             from animnerf_tpu.ops.fused_mlp import fused_nerf, pack_params
 
             c = self.cfg
-            enc = positional_encoding(xyz, c.freqs_xyz)
-            lead = enc.shape[:-1]
-            ws, bs = pack_params(params[key], enc.shape[-1],
+            lead = xyz.shape[:-1]
+            ws, bs = pack_params(params[key], c.freqs_xyz,
                                  dtype=jnp.dtype(c.compute_dtype))
-            rgb, sigma = fused_nerf(enc.reshape(-1, enc.shape[-1]), ws, bs,
-                                    1024, c.compute_dtype)
+            rgb, sigma = fused_nerf(xyz.reshape(-1, 3), ws, bs,
+                                    n_freqs=c.freqs_xyz,
+                                    dtype_name=c.compute_dtype)
             return rgb.reshape(*lead, 3), sigma.reshape(*lead, 1)
 
         def apply_fn(p, xyz, viewdir, d_code, a_code):

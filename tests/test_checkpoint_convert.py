@@ -117,6 +117,7 @@ def test_converted_nerf_matches_reference(tmp_path):
 
 
 @requires_torch
+@pytest.mark.slow
 def test_full_pl_checkpoint_ingestion(tmp_path):
     """Byte-accurate PL-1.5.7 checkpoint with EVERY group the reference
     writes (anim_nerf incl. SMPL buffers, latent_codes, body_model_params,

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import pytest
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+pytestmark = pytest.mark.slow
 from test_parallel import _tiny_setup  # noqa: E402
 
 from animnerf_tpu.models.body_params import init_body_params  # noqa: E402

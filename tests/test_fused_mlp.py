@@ -1,8 +1,9 @@
-"""Fused-MLP Pallas kernel (ops/fused_mlp.py) vs the flax NeRFMLP.
+"""Fused encode+MLP Pallas kernel (ops/fused_mlp.py) vs the flax NeRFMLP.
 
 Forward and VJP parity in interpret mode, bf16 and f32 compute, including
-the padded-weight packing round trip (autodiff through pack_params must
-map the kernel's padded cotangents back onto the flax pytree)."""
+the transposed-weight packing round trip (autodiff through pack_params must
+map the kernel's packed cotangents back onto the flax pytree) and the
+in-kernel positional-encoding chain rule (d_xyz)."""
 
 from __future__ import annotations
 
@@ -10,9 +11,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from animnerf_tpu.models.embedding import positional_encoding
 from animnerf_tpu.models.nerf import NeRFMLP
-from animnerf_tpu.ops.fused_mlp import fused_nerf, fused_nerf_fwd, pack_params
+from animnerf_tpu.ops.fused_mlp import fused_nerf, pack_params
 
 
 def _setup(dtype):
@@ -21,8 +21,7 @@ def _setup(dtype):
     params = mod.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
     rng = np.random.default_rng(0)
     xyz = jnp.asarray(rng.normal(scale=0.5, size=(700, 3)).astype(np.float32))
-    enc = positional_encoding(xyz, 10)
-    return mod, params, xyz, enc
+    return mod, params, xyz
 
 
 def _flax_out(mod, params, xyz):
@@ -30,11 +29,30 @@ def _flax_out(mod, params, xyz):
     return rgb.astype(jnp.float32), sigma.astype(jnp.float32)
 
 
+def _interpret_fused():
+    """Context wrapper: route the kernels through interpret mode on CPU."""
+    import animnerf_tpu.ops.fused_mlp as FM
+
+    class _Ctx:
+        def __enter__(self):
+            self.fwd, self.bwd = FM.fused_nerf_fwd, FM.fused_nerf_bwd
+            FM.fused_nerf_fwd = lambda *a, **k: self.fwd(
+                *a, **{**k, "interpret": True})
+            FM.fused_nerf_bwd = lambda *a, **k: self.bwd(
+                *a, **{**k, "interpret": True})
+
+        def __exit__(self, *exc):
+            FM.fused_nerf_fwd, FM.fused_nerf_bwd = self.fwd, self.bwd
+
+    return _Ctx()
+
+
 def test_fused_forward_f32_matches_flax():
-    mod, params, xyz, enc = _setup(jnp.float32)
-    ws, bs = pack_params(params, enc.shape[-1], dtype=jnp.float32)
-    rgb_k, sigma_k = fused_nerf_fwd(enc, ws, bs, tile=256,
-                                    dtype=jnp.float32, interpret=True)
+    mod, params, xyz = _setup(jnp.float32)
+    ws, bs = pack_params(params, 10, dtype=jnp.float32)
+    with _interpret_fused(), jax.disable_jit():
+        rgb_k, sigma_k = fused_nerf(xyz, ws, bs, n_freqs=10, tile=256,
+                                    dtype_name="float32")
     rgb_f, sigma_f = _flax_out(mod, params, xyz)
     np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_f),
                                atol=1e-5)
@@ -43,10 +61,11 @@ def test_fused_forward_f32_matches_flax():
 
 
 def test_fused_forward_bf16_close_to_flax_bf16():
-    mod, params, xyz, enc = _setup(jnp.bfloat16)
-    ws, bs = pack_params(params, enc.shape[-1], dtype=jnp.bfloat16)
-    rgb_k, sigma_k = fused_nerf_fwd(enc, ws, bs, tile=256,
-                                    dtype=jnp.bfloat16, interpret=True)
+    mod, params, xyz = _setup(jnp.bfloat16)
+    ws, bs = pack_params(params, 10, dtype=jnp.bfloat16)
+    with _interpret_fused(), jax.disable_jit():
+        rgb_k, sigma_k = fused_nerf(xyz, ws, bs, n_freqs=10, tile=256,
+                                    dtype_name="bfloat16")
     rgb_f, sigma_f = _flax_out(mod, params, xyz)
     # both paths are bf16 with f32 accumulation; rounding points differ
     # slightly (bias-add order), so compare at bf16 resolution
@@ -57,10 +76,10 @@ def test_fused_forward_bf16_close_to_flax_bf16():
 
 
 def test_fused_vjp_matches_flax_f32():
-    """Gradients wrt inputs (the body-param path) AND the flax params,
-    with pack_params inside the differentiated function."""
-    mod, params, xyz, enc_dim = _setup(jnp.float32)
-    enc_dim = 63
+    """Gradients wrt xyz (through the in-kernel encoding chain rule — the
+    body-param path) AND the flax params, with pack_params inside the
+    differentiated function."""
+    mod, params, xyz = _setup(jnp.float32)
 
     rng = np.random.default_rng(1)
     ct_rgb = jnp.asarray(rng.normal(size=(700, 3)).astype(np.float32))
@@ -71,24 +90,13 @@ def test_fused_vjp_matches_flax_f32():
         return (jnp.sum(rgb * ct_rgb) + jnp.sum(sigma * ct_sigma))
 
     def loss_fused(p, x):
-        enc = positional_encoding(x, 10)
-        ws, bs = pack_params(p, enc_dim, dtype=jnp.float32)
-        rgb, sigma = fused_nerf(enc, ws, bs, 256, "float32")
+        ws, bs = pack_params(p, 10, dtype=jnp.float32)
+        rgb, sigma = fused_nerf(x, ws, bs, n_freqs=10, tile=256,
+                                dtype_name="float32")
         return (jnp.sum(rgb * ct_rgb) + jnp.sum(sigma * ct_sigma))
 
-    with jax.disable_jit():  # interpret-mode pallas under the hood
-        import animnerf_tpu.ops.fused_mlp as FM
-
-        orig_fwd, orig_bwd = FM.fused_nerf_fwd, FM.fused_nerf_bwd
-        FM.fused_nerf_fwd = lambda *a, **k: orig_fwd(
-            *a, **{**k, "interpret": True})
-        FM.fused_nerf_bwd = lambda *a, **k: orig_bwd(
-            *a, **{**k, "interpret": True})
-        try:
-            l_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1))(
-                params, xyz)
-        finally:
-            FM.fused_nerf_fwd, FM.fused_nerf_bwd = orig_fwd, orig_bwd
+    with _interpret_fused(), jax.disable_jit():
+        l_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1))(params, xyz)
 
     l_r, g_r = jax.value_and_grad(loss_flax, argnums=(0, 1))(params, xyz)
     assert abs(float(l_f) - float(l_r)) < 1e-2 * max(1.0, abs(float(l_r)))
@@ -104,7 +112,7 @@ def test_fused_vjp_matches_flax_f32():
         num = np.linalg.norm((a - b).ravel())
         den = np.linalg.norm(b.ravel()) + 1e-12
         assert num / den < 1e-4, f"{jax.tree_util.keystr(kp)}: {num / den:.2e}"
-    # d_xyz through the embedding
+    # d_xyz through the in-kernel encoding chain rule
     a, b = np.asarray(g_f[1], np.float64), np.asarray(g_r[1], np.float64)
     num = np.linalg.norm((a - b).ravel())
     den = np.linalg.norm(b.ravel()) + 1e-12

@@ -60,6 +60,7 @@ def _cfg(root, tmp, **over):
     return finalize(cfg)
 
 
+@pytest.mark.slow
 def test_fit_resume_refine(ds_root, tmp_path):
     tmp = str(tmp_path)
 

@@ -91,6 +91,7 @@ def _assert_grads_close(g_ref, g_new, tol, what):
             f"{jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.slow
 def test_grads_mesh_size_equivalence():
     """Gradients must be invariant to the mesh size: the psum over 8 shards
     must reproduce the 2-shard (and, coarsely, 1-device) gradients.
@@ -118,6 +119,7 @@ def test_grads_mesh_size_equivalence():
     _assert_grads_close(g1, g8, 2e-2, "1dev-vs-8dev")
 
 
+@pytest.mark.slow
 def test_train_1dev_vs_8dev_param_equivalence_sgd():
     """k SGD steps on 1 device == on 8 devices from identical init: with a
     linear optimizer the parameter trajectory itself must match (Adam's
@@ -181,6 +183,7 @@ def test_sharded_eval_step_jit_is_cached():
     assert len(step._cache) == 1
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore_under_sharding(tmp_path):
     """save -> restore -> continue on the 8-device mesh must equal training
     straight through (full-state fidelity incl. optimizer + step counter)."""

@@ -99,20 +99,18 @@ def bench_fused():
     params = mod.init(key, jnp.zeros((2, 3), np.float32))
     M = 2621440
 
-    for tile in (256, 512, 1024):
+    for tile in (512, 1024):
         @jax.jit
         def fwd(x, params=params, tile=tile):
-            enc = positional_encoding(x, 10)
-            ws, bs = pack_params(params, 63)
-            rgb, sigma = fused_nerf(enc, ws, bs, tile, "bfloat16")
+            ws, bs = pack_params(params, 10)
+            rgb, sigma = fused_nerf(x, ws, bs, n_freqs=10, tile=tile)
             return jnp.sum(rgb) + jnp.sum(sigma)
 
         @jax.jit
         def fwdbwd(x, params=params, tile=tile):
             def loss(p, xx):
-                enc = positional_encoding(xx, 10)
-                ws, bs = pack_params(p, 63)
-                rgb, sigma = fused_nerf(enc, ws, bs, tile, "bfloat16")
+                ws, bs = pack_params(p, 10)
+                rgb, sigma = fused_nerf(xx, ws, bs, n_freqs=10, tile=tile)
                 return jnp.sum(rgb) + jnp.sum(sigma)
 
             l, g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
