@@ -151,6 +151,18 @@ def rays_to_root_frame(ctx: FrameContext, rays: jax.Array) -> jax.Array:
     return jnp.concatenate([o, d, near, far], axis=-1)
 
 
+def _fused_warp_enabled() -> bool:
+    """Fused warp-blend kernel on TPU (ANIMNERF_WARP_FUSED=0 opts out)."""
+    import os
+
+    if os.environ.get("ANIMNERF_WARP_FUSED", "1") != "1":
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def blend_neighbour_transforms(
     ctx: FrameContext,
     xyz: jax.Array,
@@ -208,6 +220,39 @@ def unpose(
     downstream. Measured neutral on v5e (see PERF.md).
     """
     fs = dis_threshold if far_skip else 0.0
+
+    if _fused_warp_enabled():
+        # Morton-sort the vertices so index neighbourhoods are spatial
+        # neighbourhoods — the fused blend kernel's candidate-chunk pruning
+        # (and the scatter backward's candidate tiles) then see a handful
+        # of chunks per point tile regardless of the mesh's native vertex
+        # order. kNN is exact under permutation (distance order preserved;
+        # only measure-zero ties can pick a different equal-distance
+        # vertex). ~2 ms of argsort+gathers for a ~50 ms swing.
+        from animnerf_tpu.ops.warp_blend import (
+            morton_codes,
+            permute_rows,
+            warp_blend,
+        )
+
+        B, N = xyz.shape[:2]
+        V, J = ctx.lbs_weights.shape
+        verts_c = jax.lax.stop_gradient(ctx.verts)
+        perm = jnp.argsort(morton_codes(verts_c), axis=1)
+        inv = jnp.argsort(perm, axis=1)
+        verts_p = jnp.take_along_axis(verts_c, perm[..., None], axis=1)
+        dists, idx = knn(xyz, verts_p, k=k, far_skip=fs)
+
+        table = jnp.concatenate(
+            [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
+             ctx.ober2cano.reshape(B, V, 16)], axis=-1)
+        table_p = permute_rows(table, perm, inv)
+        xyz_cano, viewdir, blended_dist = warp_blend(
+            xyz, viewdir, dists, idx, table_p, J, float(weight_std), 0.9,
+            bool(unpose_view))
+        valid = (blended_dist < dis_threshold).astype(xyz.dtype)
+        return xyz_cano, viewdir, valid
+
     dists, idx = knn(xyz, ctx.verts, k=k, far_skip=fs)
     return unpose_with_knn(ctx, xyz, viewdir, dists, idx,
                            dis_threshold=dis_threshold,
@@ -238,6 +283,20 @@ def unpose_with_knn(
     table = jnp.concatenate(
         [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
          ctx.ober2cano.reshape(B, V, 16)], axis=-1)  # (B, V, J+16)
+
+    if _fused_warp_enabled():
+        # one Pallas program: VMEM-resident table, candidate-chunk-pruned
+        # lane-shuffle gather, gate + blend + 4x4 apply in registers
+        # (replaces ~67 ms/step of XLA gather + loop fusions; see
+        # ops/warp_blend.py)
+        from animnerf_tpu.ops.warp_blend import warp_blend
+
+        xyz_cano, viewdir, blended_dist = warp_blend(
+            xyz, viewdir, dists, idx, table, J, float(weight_std),
+            float(conf_gate), bool(unpose_view))
+        valid = (blended_dist < dis_threshold).astype(xyz.dtype)
+        return xyz_cano, viewdir, valid
+
     blended_dist, blended_flat = gather_blend(
         table, dists, idx, J, float(weight_std), float(conf_gate))
     T = blended_flat.reshape(B, N, 4, 4)
