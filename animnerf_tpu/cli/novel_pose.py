@@ -96,15 +96,18 @@ def main(argv=None) -> None:
     pose_dim = cfg.get("pose_dim") or (69 if cfg.model_type == "smpl" else 63)
 
     frames = []
-    for i, mc in enumerate(mocap):
-        body_params = {
-            "betas": betas,
-            "global_orient": jnp.asarray(mc["global_orient"])[None],
-            "body_pose": jnp.asarray(mc["body_pose"][:pose_dim])[None],
-            "transl": transl_mean + jnp.asarray(mc["transl"])[None],
-        }
-        img, mask, depth = renderer.render_frame(
-            params, body_params, template, rays, img_wh=(W, H))
+    all_body_params = [{
+        "betas": betas,
+        "global_orient": jnp.asarray(mc["global_orient"])[None],
+        "body_pose": jnp.asarray(mc["body_pose"][:pose_dim])[None],
+        "transl": transl_mean + jnp.asarray(mc["transl"])[None],
+    } for mc in mocap]
+    # pipelined mocap stream (render/inference.py::render_stream)
+    stream = renderer.render_stream(params, [
+        dict(body_params=bp, body_tmpl=template, rays=rays, img_wh=(W, H))
+        for bp in all_body_params])
+    for i, (img, mask, depth) in enumerate(stream):
+        body_params = all_body_params[i]
         depth_vis = colorize_depth(depth)
         save_image(os.path.join(save_dir, "images", f"{i:06d}.png"), img)
         save_image(os.path.join(save_dir, "masks", f"{i:06d}.png"),

@@ -75,10 +75,14 @@ def main(argv=None) -> None:
 
     renderer = Renderer(system)
     frames = []
-    for i in range(args.n_views):
-        P = turntable_rotation(i, args.n_views, args.angle)
-        img, mask, depth = renderer.render_frame(
-            params, body_params, template, rays, P, img_wh=(W, H))
+    # pipelined turntable: view i+1's programs are enqueued before view
+    # i's outputs are fetched (render/inference.py::render_stream)
+    stream = renderer.render_stream(params, [
+        dict(body_params=body_params, body_tmpl=template, rays=rays,
+             P=turntable_rotation(i, args.n_views, args.angle),
+             img_wh=(W, H))
+        for i in range(args.n_views)])
+    for i, (img, mask, depth) in enumerate(stream):
         depth_vis = colorize_depth(depth)
         save_image(os.path.join(save_dir, "images", f"{i:06d}.png"), img)
         save_image(os.path.join(save_dir, "depths", f"{i:06d}.png"), depth_vis)

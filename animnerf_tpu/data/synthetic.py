@@ -12,12 +12,19 @@ import numpy as np
 
 
 def make_rig(num_verts: int = 256, num_joints: int = 24, num_betas: int = 10,
-             seed: int = 0) -> dict:
+             seed: int = 0, surface: bool = False) -> dict:
     """Build a synthetic body-model dict (same keys as loader.load_model_data).
 
     Joints are placed along a chain in 3D; vertices are scattered around the
     bones; lbs weights fall off smoothly with distance to each joint so the
     rig deforms plausibly. All arrays float32.
+
+    surface=True samples vertices ON capsule (tube) surfaces around the
+    bones instead of as a volumetric cloud — a true 2-manifold with tight
+    2-D neighbourhoods and bone-grid-coherent vertex ORDER, i.e. the
+    regime real scans/SMPL bodies live in (VERDICT r2 ask 4: ~7% coarse
+    survivors, tight clusters). The default cloud rig stays for
+    continuity with earlier benchmarks.
     """
     rng = np.random.default_rng(seed)
     J, V = num_joints, num_verts
@@ -36,14 +43,48 @@ def make_rig(num_verts: int = 256, num_joints: int = 24, num_betas: int = 10,
         offset[1] += 0.08  # grow upward
         joints_rest[j] = joints_rest[parents[j]] + offset
 
-    # Vertices: sample along bones with noise.
-    bone_choice = rng.integers(1, J, size=V)
-    t = rng.random(V).astype(np.float32)[:, None]
-    v_template = (
-        joints_rest[parents[bone_choice]] * (1 - t)
-        + joints_rest[bone_choice] * t
-        + rng.normal(scale=0.04, size=(V, 3)).astype(np.float32)
-    )
+    if surface:
+        # vertices on a (t, phi) grid over each bone's capsule surface;
+        # per-bone grids laid out contiguously -> index-coherent order
+        n_phi = 8
+        per_bone = max(n_phi, V // (J - 1) // n_phi * n_phi)
+        pts = []
+        for j in range(1, J):
+            a = joints_rest[j] - joints_rest[parents[j]]
+            ln = np.linalg.norm(a) + 1e-8
+            a_hat = a / ln
+            ref = np.array([0.0, 0.0, 1.0], np.float32)
+            if abs(a_hat @ ref) > 0.9:
+                ref = np.array([1.0, 0.0, 0.0], np.float32)
+            n1 = np.cross(a_hat, ref)
+            n1 /= np.linalg.norm(n1) + 1e-8
+            n2 = np.cross(a_hat, n1)
+            r = 0.03 + 0.03 * rng.random()
+            n_t = per_bone // n_phi
+            t = np.linspace(0.0, 1.0, n_t, dtype=np.float32)[:, None, None]
+            phi = (np.linspace(0.0, 2 * np.pi, n_phi, endpoint=False,
+                               dtype=np.float32)[None, :, None]
+                   + rng.random() * 2 * np.pi)
+            ring = r * (np.cos(phi) * n1[None, None] +
+                        np.sin(phi) * n2[None, None])
+            pts.append((joints_rest[parents[j]][None, None]
+                        + t * a[None, None] + ring).reshape(-1, 3))
+        v_template = np.concatenate(pts, axis=0)
+        if len(v_template) < V:  # fill the remainder on random bones
+            extra = rng.integers(0, len(v_template), size=V - len(v_template))
+            v_template = np.concatenate(
+                [v_template, v_template[extra]
+                 + rng.normal(scale=0.005, size=(len(extra), 3))], axis=0)
+        v_template = v_template[:V].astype(np.float32)
+    else:
+        # Vertices: sample along bones with noise.
+        bone_choice = rng.integers(1, J, size=V)
+        t = rng.random(V).astype(np.float32)[:, None]
+        v_template = (
+            joints_rest[parents[bone_choice]] * (1 - t)
+            + joints_rest[bone_choice] * t
+            + rng.normal(scale=0.04, size=(V, 3)).astype(np.float32)
+        )
 
     # LBS weights: inverse-square distance to joints, top-4 sparsified.
     d2 = ((v_template[:, None] - joints_rest[None]) ** 2).sum(-1) + 1e-4
@@ -82,7 +123,7 @@ def make_rig(num_verts: int = 256, num_joints: int = 24, num_betas: int = 10,
 
 def make_body_model(num_verts: int = 256, num_joints: int = 24,
                     num_betas: int = 10, seed: int = 0, model_type: str = "smpl",
-                    num_pca: int = 6):
+                    num_pca: int = 6, surface: bool = False):
     """Synthetic BodyModel pytree ready for animnerf_tpu.smpl.forward.
 
     For model_type 'smplh'/'smplx' the rig gets the right joint counts
@@ -95,7 +136,7 @@ def make_body_model(num_verts: int = 256, num_joints: int = 24,
     if model_type in ("smplh", "smplx", "mano", "flame") and num_joints == 24:
         num_joints = NUM_JOINTS[model_type]
 
-    rig = make_rig(num_verts, num_joints, num_betas, seed)
+    rig = make_rig(num_verts, num_joints, num_betas, seed, surface=surface)
     extra = np.arange(min(4, num_verts), dtype=np.int32)  # fake keypoints
     kwargs = {}
     if model_type == "mano":

@@ -100,22 +100,37 @@ def convert_torch_lpips(alexnet_ckpt: str, lpips_lin_ckpt: str,
                         out_path: str) -> str:
     """Convert torch AlexNet features + lpips linear heads to our npz.
 
-    alexnet_ckpt: torchvision alexnet state_dict (.pth) — features.{0,3,6,
-    8,10}.{weight,bias}; lpips_lin_ckpt: lpips package's alex.pth —
-    lin{0..4}.model.1.weight. Both read torch-free."""
+    Accepts every layout the lpips ecosystem ships (all read torch-free):
+      * alexnet_ckpt: torchvision alexnet state_dict (.pth) —
+        features.{0,3,6,8,10}.{weight,bias} — OR a full lpips.LPIPS module
+        state_dict, whose alexnet wrapper preserves the torchvision layer
+        indices inside slice modules: net.slice{1..5}.{0,3,6,8,10}.*;
+      * lpips_lin_ckpt: the package's weights/v0.1/alex.pth (linear heads
+        only, lin{0..4}.model.1.weight) or the same full-module dict
+        (lins.{0..4}.model.1.weight). Pass one file as both arguments when
+        everything lives in a single full-module checkpoint.
+    Reference consumer: /root/reference/models/evaluator.py:14."""
     from animnerf_tpu.utils.torch_pickle import load_torch_checkpoint
 
     alex = load_torch_checkpoint(alexnet_ckpt)
     alex = alex.get("state_dict", alex)
-    lin = load_torch_checkpoint(lpips_lin_ckpt)
+    lin = (alex if lpips_lin_ckpt == alexnet_ckpt
+           else load_torch_checkpoint(lpips_lin_ckpt))
     lin = lin.get("state_dict", lin)
 
     out = {}
     torch_idx = [0, 3, 6, 8, 10]
     for i, ti in enumerate(torch_idx):
-        w = np.asarray(alex[f"features.{ti}.weight"])  # (O,I,kh,kw)
+        for key in (f"features.{ti}", f"net.slice{i + 1}.{ti}"):
+            if f"{key}.weight" in alex:
+                break
+        else:
+            raise KeyError(
+                f"conv{i} weights (features.{ti} / net.slice{i + 1}.{ti}) "
+                f"not found in {alexnet_ckpt}")
+        w = np.asarray(alex[f"{key}.weight"])          # (O,I,kh,kw)
         out[f"conv{i}_w"] = w.transpose(2, 3, 1, 0)    # HWIO
-        out[f"conv{i}_b"] = np.asarray(alex[f"features.{ti}.bias"])
+        out[f"conv{i}_b"] = np.asarray(alex[f"{key}.bias"])
     for i in range(5):
         for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
             if key in lin:

@@ -366,6 +366,148 @@ class Renderer:
             depth = depth.reshape(H, W)
         return img, mask, depth
 
+    # ------------------------------------------------- pipelined streaming
+
+    def render_stream(self, params, frames):
+        """Pipelined rendering of a SEQUENCE of views (turntables, mocap
+        streams). `frames` is an iterable of dicts with keys body_params,
+        body_tmpl, rays (R, 8) np, P (4, 4) np, img_wh (optional).
+        Yields (img, mask, depth) per frame, in order.
+
+        Per-view, render_frame is fully synchronous: fetch maybe_hit ->
+        dispatch the fused program -> fetch outputs, paying ~3 host<->device
+        round trips (~0.13 s each on this tunneled chip) of dead device
+        time per view. Here view i+1's maybe_hit is enqueued BEFORE view
+        i's fused program and the output fetch trails one view behind, so
+        every round trip overlaps the device compute of a neighbouring
+        view — steady-state cost becomes the device time alone
+        (VERDICT r2 ask 2; reference loop: novel_view.py:94-116).
+
+        Capacities are also driven DOWN here: when the observed survivor
+        counts of the last `shrink_after` views all fit a smaller rung,
+        the caps shrink to it (render_frame only ever ratchets up from the
+        generous prime — fine was primed at 40% of samples, so a stream
+        whose true fine survivor rate is ~15% would otherwise pay ~2.7x
+        the needed fine compute forever)."""
+        frames = list(frames)
+        n = len(frames)
+        if n == 0:
+            return
+        if not self._compaction_applicable() or not self.cull_rays:
+            for f in frames:
+                yield self.render_frame(params, f["body_params"],
+                                        f["body_tmpl"], f["rays"],
+                                        f.get("P"), f.get("img_wh"))
+            return
+
+        cfg = self.system.renderer_cfg
+        quantum = 65536
+        mh = [None] * n
+        pending: list = []  # (frame_i, out, n_c, n_f, active, fars, R_act)
+        history: dict = {}  # R_act -> list of recent (n_c, n_f)
+        shrink_after = 2
+
+        def dispatch_mh(i):
+            f = frames[i]
+            P = f.get("P")
+            P = np.eye(4, dtype=np.float32) if P is None else P
+            mh[i] = self._maybe_hit(f["body_params"], f["body_tmpl"],
+                                    jnp.asarray(f["rays"])[None],
+                                    jnp.asarray(P))
+
+        def dispatch_fused(i):
+            f = frames[i]
+            P = f.get("P")
+            P = np.eye(4, dtype=np.float32) if P is None else P
+            maybe, fars = jax.device_get(mh[i])
+            mh[i] = None
+            maybe = np.asarray(maybe[0])
+            fars = np.asarray(fars[0])
+            active = np.nonzero(maybe)[0]
+            if len(active) == 0:
+                pending.append((i, None, None, None, active, fars, 0))
+                return
+            pad = (-len(active)) % quantum
+            act = np.concatenate([active, np.repeat(active[-1:], pad)]) \
+                if pad else active
+            R = len(act)
+            if R not in self._caps:
+                self._caps[R] = (
+                    self._quantize(int(0.18 * R * cfg.n_coarse)),
+                    self._quantize(int(0.40 * R * max(cfg.n_fine, 1))))
+            cap_c, cap_f = self._caps[R]
+            out, n_c, n_f = self._fused(
+                params, f["body_params"], f["body_tmpl"],
+                jnp.asarray(f["rays"][act])[None], jnp.asarray(P),
+                cap_c=cap_c, cap_f=cap_f)
+            pending.append((i, out, (n_c, n_f), act, active, fars, R))
+
+        def finalize(entry):
+            i, out, counts, act, active, fars, R = entry
+            f = frames[i]
+            n_rays = f["rays"].shape[0]
+            bg = 1.0 if cfg.white_bkgd else 0.0
+            img = np.full((n_rays, 3), bg, np.float32)
+            mask = np.zeros(n_rays, np.float32)
+            depth = fars.astype(np.float32) if cfg.white_bkgd \
+                else np.zeros(n_rays, np.float32)
+            if out is not None:
+                cap_c, cap_f = self._caps[R]
+                ai, am, ad, i_c, i_f = jax.device_get(
+                    (out["rgbs"][0], out["alphas"][0, :, 0],
+                     out["depths"][0, :, 0], counts[0], counts[1]))
+                i_c, i_f = int(i_c), int(i_f)
+                P = f.get("P")
+                P = np.eye(4, dtype=np.float32) if P is None else P
+                # exact overflow re-render (synchronous; rare after the
+                # first view) — same loop as _render_compact
+                while i_c > cap_c or i_f > cap_f:
+                    cap_c = max(cap_c, self._quantize(i_c))
+                    cap_f = max(cap_f, self._quantize(i_f))
+                    self._caps[R] = (cap_c, cap_f)
+                    o2, n_c, n_f = self._fused(
+                        params, f["body_params"], f["body_tmpl"],
+                        jnp.asarray(f["rays"][act])[None], jnp.asarray(P),
+                        cap_c=cap_c, cap_f=cap_f)
+                    ai, am, ad, i_c, i_f = jax.device_get(
+                        (o2["rgbs"][0], o2["alphas"][0, :, 0],
+                         o2["depths"][0, :, 0], n_c, n_f))
+                    i_c, i_f = int(i_c), int(i_f)
+                # shrink caps when the last few views all fit a smaller rung
+                h = history.setdefault(R, [])
+                h.append((i_c, i_f))
+                del h[:-shrink_after]
+                if len(h) == shrink_after:
+                    want = (self._quantize(max(c for c, _ in h)),
+                            self._quantize(max(fc for _, fc in h)))
+                    cur = self._caps[R]
+                    # every (cap_c, cap_f) pair is a separate compile of
+                    # the whole fused program (minutes on this tunnel):
+                    # only shrink when it buys >= 25% of the padded work
+                    if (want[0] <= cur[0] and want[1] <= cur[1]
+                            and want[0] + want[1]
+                            <= 0.75 * (cur[0] + cur[1])):
+                        self._caps[R] = want
+                img[active] = ai[:len(active)]
+                mask[active] = am[:len(active)]
+                depth[active] = ad[:len(active)]
+            wh = f.get("img_wh")
+            if wh is not None:
+                W, H = wh
+                return img.reshape(H, W, 3), mask.reshape(H, W), \
+                    depth.reshape(H, W)
+            return img, mask, depth
+
+        dispatch_mh(0)
+        for i in range(n):
+            if i + 1 < n:
+                dispatch_mh(i + 1)
+            dispatch_fused(i)
+            if len(pending) > 1:
+                yield finalize(pending.pop(0))
+        while pending:
+            yield finalize(pending.pop(0))
+
     def query_sigma_observed(self, params, body_params, body_tmpl,
                              points: np.ndarray, use_fine: bool = True,
                              chunk: int = 262144) -> np.ndarray:

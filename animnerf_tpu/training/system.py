@@ -239,36 +239,44 @@ class AnimNeRFSystem:
             details["loss_alphas_fine"] = laf
             loss = loss + t.lambda_alphas * laf
 
+        # fg/bg sigma terms share ONE batched MLP pass per field (exact:
+        # sigma is pointwise, the split means are computed after)
         scale = 2.0 / c.n_samples
-        if c.use_unpose and fg_points is not None:
+        if c.use_unpose and (fg_points is not None or bg_points is not None):
+            both = fg_points is not None and bg_points is not None
+            pts_sig = (jnp.concatenate([fg_points, bg_points], axis=1)
+                       if both else
+                       (fg_points if fg_points is not None else bg_points))
+            n_fg = fg_points.shape[1] if fg_points is not None else 0
             for fine in ([False, True] if has_fine else [False]):
-                s = self.scene.query_sigma(params["anim_nerf"], fg_points,
+                s = self.scene.query_sigma(params["anim_nerf"], pts_sig,
                                            use_fine=fine,
                                            deformation_code=d_code)
-                lfg = jnp.mean(jnp.exp(-scale * jax.nn.relu(s)))
-                details["loss_foreground" + ("_fine" if fine else "")] = lfg
-                loss = loss + t.lambda_foreground * lfg
-        if c.use_unpose and bg_points is not None:
-            for fine in ([False, True] if has_fine else [False]):
-                s = self.scene.query_sigma(params["anim_nerf"], bg_points,
-                                           use_fine=fine,
-                                           deformation_code=d_code)
-                lbg = jnp.mean(1.0 - jnp.exp(-scale * jax.nn.relu(s)))
-                details["loss_background" + ("_fine" if fine else "")] = lbg
-                loss = loss + t.lambda_background * lbg
+                e = jnp.exp(-scale * jax.nn.relu(s))
+                sfx = "_fine" if fine else ""
+                if fg_points is not None:
+                    lfg = jnp.mean(e[:, :n_fg])
+                    details["loss_foreground" + sfx] = lfg
+                    loss = loss + t.lambda_foreground * lfg
+                if bg_points is not None:
+                    lbg = jnp.mean(1.0 - e[:, n_fg:])
+                    details["loss_background" + sfx] = lbg
+                    loss = loss + t.lambda_background * lbg
 
-        # normal smoothness on jittered template verts (train.py:288-309)
+        # normal smoothness on jittered template verts (train.py:288-309);
+        # pts and their jittered neighbours ride ONE grad-of-MLP pass per
+        # field (per-point gradients are independent, so batching is exact)
         k1, k2 = jax.random.split(key)
         pts = jax.lax.stop_gradient(ctx.verts_template)
         pts = pts + jax.random.normal(k1, pts.shape) * (c.dis_threshold * 0.5)
         neighbs = pts + jax.random.normal(k2, pts.shape) * t.epsilon
+        n_pts = pts.shape[1]
+        pts_nrm = jnp.concatenate([pts, neighbs], axis=1)
         for fine in ([False, True] if has_fine else [False]):
-            n1 = self.scene.query_normal(params["anim_nerf"], pts,
+            nn = self.scene.query_normal(params["anim_nerf"], pts_nrm,
                                          use_fine=fine, deformation_code=d_code)
-            n2 = self.scene.query_normal(params["anim_nerf"], neighbs,
-                                         use_fine=fine, deformation_code=d_code)
-            n1 = _safe_normalize(n1)
-            n2 = _safe_normalize(n2)
+            n1 = _safe_normalize(nn[:, :n_pts])
+            n2 = _safe_normalize(nn[:, n_pts:])
             ln = jnp.mean((n1 - n2) ** 2)
             details["loss_normals" + ("_fine" if fine else "")] = ln
             loss = loss + t.lambda_normals * ln
@@ -386,9 +394,11 @@ class AnimNeRFSystem:
 
     def make_compact_trainer(self, tx: optax.GradientTransformation,
                              quantum: int = 8192, factor: float = 1.5,
-                             pipelined: bool = False, sync_every: int = 32):
+                             pipelined: bool = False, sync_every: int = 32,
+                             margin: float = 1.15):
         return CompactTrainer(self, tx, quantum=quantum, factor=factor,
-                              pipelined=pipelined, sync_every=sync_every)
+                              pipelined=pipelined, sync_every=sync_every,
+                              margin=margin)
 
     def make_eval_step(self):
         def eval_step(params: dict, batch: dict):

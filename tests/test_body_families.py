@@ -133,3 +133,30 @@ def test_mano_flame_warp_pipeline(model_type):
     cano, _, valid = unpose(ctx, xyz)
     assert np.asarray(valid).mean() > 0.8
     assert np.isfinite(np.asarray(cano)).all()
+
+
+def test_joint_names_match_reference_table():
+    """Our generated table must equal the reference's literal 144-name
+    list when the reference checkout is present (skipped otherwise)."""
+    import os
+
+    import pytest
+
+    from animnerf_tpu.smpl.joint_names import (
+        full_joint_names,
+        joint_index,
+        joint_names,
+    )
+
+    assert len(full_joint_names()) == 144
+    assert joint_names("smpl")[0] == "pelvis" and len(joint_names("smpl")) == 24
+    assert len(joint_names("smplh")) == 52
+    assert len(joint_names("smplx")) == 55
+    assert joint_index("nose") == 55
+
+    ref = "/root/reference/smplx/joint_names.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not present")
+    ns: dict = {}
+    exec(open(ref).read(), ns)  # the file is a single list literal
+    assert list(full_joint_names()) == ns["JOINT_NAMES"]

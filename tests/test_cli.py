@@ -191,3 +191,37 @@ def test_sample_compaction_exactness(trained):
     np.testing.assert_allclose(img_c, img_n, atol=1e-5)
     np.testing.assert_allclose(mask_c, mask_n, atol=1e-5)
     np.testing.assert_allclose(depth_c, depth_n, atol=1e-4)
+
+def test_render_stream_matches_render_frame(trained):
+    """The pipelined multi-view stream must produce exactly what the
+    per-frame path produces (same programs, different dispatch order) and
+    its observed-count capacity shrink must stay exact."""
+    import numpy as np
+
+    from animnerf_tpu.cli.common import (
+        load_cam_and_rays,
+        load_frame_params,
+        load_system_and_params,
+    )
+    from animnerf_tpu.render.inference import Renderer, turntable_rotation
+
+    cfg, ckpt, tmp = trained
+    system, params = load_system_and_params(cfg, ckpt)
+    _, body_params, template = load_frame_params(cfg, 1)
+    cam, rays = load_cam_and_rays(cfg, 0)
+    W, H = cfg.img_wh
+
+    r = Renderer(system)
+    Ps = [turntable_rotation(i, 5) for i in range(5)]
+    frames = [dict(body_params=body_params, body_tmpl=template, rays=rays,
+                   P=P, img_wh=(W, H)) for P in Ps]
+    streamed = list(r.render_stream(params, frames))
+    assert len(streamed) == 5
+
+    r2 = Renderer(system)
+    for (img_s, mask_s, depth_s), P in zip(streamed, Ps):
+        img_f, mask_f, depth_f = r2.render_frame(
+            params, body_params, template, rays, P, img_wh=(W, H))
+        np.testing.assert_allclose(img_s, img_f, atol=1e-5)
+        np.testing.assert_allclose(mask_s, mask_f, atol=1e-5)
+        np.testing.assert_allclose(depth_s, depth_f, atol=1e-4)

@@ -155,3 +155,43 @@ def test_ssim_matches_independent_torch_implementation():
         a = ssim(img, base)
         b = torch_ssim(img, base)
         assert abs(a - b) < 1e-8, (noise, a, b)
+
+
+def test_converter_accepts_full_lpips_module_layout(tmp_path):
+    """The lpips package's own LPIPS(net='alex') state_dict layout: conv
+    weights nested under net.slice{1..5}.<torchvision idx> (the alexnet
+    wrapper preserves original feature indices inside each slice module),
+    heads under lins.{i}.model.1.weight, plus the scaling-layer buffers.
+    One file carries everything; converting it must equal converting the
+    split torchvision-style files."""
+    alex_sd, lin_sd, alex_path, lin_path = _fake_torch_checkpoints(tmp_path)
+
+    full_sd = {
+        "scaling_layer.shift": torch.tensor([[[-0.030]], [[-0.088]], [[-0.188]]]),
+        "scaling_layer.scale": torch.tensor([[[0.458]], [[0.448]], [[0.450]]]),
+    }
+    torch_idx = [0, 3, 6, 8, 10]
+    for i, ti in enumerate(torch_idx):
+        full_sd[f"net.slice{i + 1}.{ti}.weight"] = alex_sd[f"features.{ti}.weight"]
+        full_sd[f"net.slice{i + 1}.{ti}.bias"] = alex_sd[f"features.{ti}.bias"]
+        full_sd[f"lins.{i}.model.1.weight"] = lin_sd[f"lin{i}.model.1.weight"]
+    full_path = str(tmp_path / "lpips_full_module.pth")
+    torch.save(full_sd, full_path)
+
+    npz_split = convert_torch_lpips(alex_path, lin_path,
+                                    str(tmp_path / "split.npz"))
+    npz_full = convert_torch_lpips(full_path, full_path,
+                                   str(tmp_path / "full.npz"))
+    a, b = np.load(npz_split), np.load(npz_full)
+    assert sorted(a.files) == sorted(b.files)
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k])
+
+    # and the evaluator picks the npz up end-to-end
+    from animnerf_tpu.models.evaluator import Evaluator
+
+    ev = Evaluator(use_lpips=True, lpips_weights=npz_full)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    out = ev(np.clip(img + 0.05, 0, 1), img)
+    assert "lpips" in out and np.isfinite(out["lpips"])
