@@ -134,10 +134,21 @@ def forward(
     leye_pose: Optional[jax.Array] = None,
     reye_pose: Optional[jax.Array] = None,
     expression: Optional[jax.Array] = None,       # (B, 10) smplx/flame
+    pose2rot: bool = True,
     **_: object,
 ) -> BodyModelOutput:
-    """Pose the body model. Pure function of (model, params)."""
+    """Pose the body model. Pure function of (model, params).
+
+    pose2rot=False is the reference's `*Layer` variant semantics
+    (smplx/body_models.py:414,475): every pose argument is rotation
+    MATRICES — (B, n, 3, 3) or flat (B, n*9) — instead of axis-angle,
+    and hand poses are full per-joint rotations (no PCA decode)."""
     B = betas.shape[0]
+    if not pose2rot:
+        return _forward_rotmats(
+            model, betas, global_orient, body_pose, transl,
+            left_hand_pose, right_hand_pose, hand_pose, jaw_pose,
+            neck_pose, leye_pose, reye_pose, expression)
     zeros3 = jnp.zeros((B, 3), dtype=betas.dtype)
 
     if model.model_type == "smpl":
@@ -214,3 +225,66 @@ def forward(
         pose_offsets=out.pose_offsets,
         full_pose=full_pose,
     )
+
+
+def _forward_rotmats(model: BodyModel, betas, global_orient, body_pose,
+                     transl, left_hand_pose, right_hand_pose, hand_pose,
+                     jaw_pose, neck_pose, leye_pose, reye_pose,
+                     expression) -> BodyModelOutput:
+    """pose2rot=False body: every pose piece is (B, n, 3, 3) / (B, n*9)
+    rotation matrices, hands are full 15-joint rotations (reference Layer
+    classes, smplx/body_models.py:414-475)."""
+    B = betas.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=betas.dtype), (B, 1, 3, 3))
+
+    def rots(x, n):
+        if x is None:
+            return jnp.broadcast_to(eye, (B, n, 3, 3))
+        return x.reshape(B, n, 3, 3)
+
+    go = rots(global_orient, 1)
+    mt = model.model_type
+    if mt == "smpl":
+        parts = [go, rots(body_pose, model.num_joints - 1)]
+    elif mt == "mano":
+        hp = hand_pose if hand_pose is not None else left_hand_pose
+        parts = [go, rots(hp, 15)]
+    elif mt == "flame":
+        parts = [go, rots(neck_pose, 1), rots(jaw_pose, 1),
+                 rots(leye_pose, 1), rots(reye_pose, 1)]
+    elif mt == "smplh":
+        parts = [go, rots(body_pose, 21), rots(left_hand_pose, 15),
+                 rots(right_hand_pose, 15)]
+    elif mt == "smplx":
+        parts = [go, rots(body_pose, 21), rots(jaw_pose, 1),
+                 rots(leye_pose, 1), rots(reye_pose, 1),
+                 rots(left_hand_pose, 15), rots(right_hand_pose, 15)]
+    else:
+        raise ValueError(f"unknown model_type {mt!r}")
+    full_pose = jnp.concatenate(parts, axis=1)  # (B, J, 3, 3)
+
+    shape_coeffs = betas
+    shapedirs = model.shapedirs
+    if mt in ("smplx", "flame") and expression is not None:
+        if shapedirs.shape[-1] >= betas.shape[-1] + expression.shape[-1]:
+            shape_coeffs = jnp.concatenate([betas, expression], axis=-1)
+            shapedirs = shapedirs[..., : shape_coeffs.shape[-1]]
+
+    out = lbs_mod.lbs(
+        shape_coeffs, full_pose, model.v_template, shapedirs,
+        model.posedirs, model.J_regressor, model.parents,
+        model.lbs_weights, pose2rot=False)
+
+    extra = out.vertices[:, model.extra_joint_idxs]
+    joints = jnp.concatenate([out.joints, extra], axis=1)
+    vertices, A, T = out.vertices, out.joints_transform, out.vertices_transform
+    if transl is not None:
+        t = transl[:, None]
+        vertices = vertices + t
+        joints = joints + t
+        A = A.at[..., :3, 3].add(t)
+        T = T.at[..., :3, 3].add(t)
+    return BodyModelOutput(
+        vertices=vertices, joints=joints, joints_transform=A,
+        vertices_transform=T, shape_offsets=out.shape_offsets,
+        pose_offsets=out.pose_offsets, full_pose=full_pose)

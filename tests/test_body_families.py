@@ -160,3 +160,57 @@ def test_joint_names_match_reference_table():
     ns: dict = {}
     exec(open(ref).read(), ns)  # the file is a single list literal
     assert list(full_joint_names()) == ns["JOINT_NAMES"]
+
+
+def test_layer_variant_rotmat_input_matches_axis_angle():
+    """pose2rot=False (the reference's SMPL*Layer semantics,
+    body_models.py:414-475): feeding rodrigues(axis-angle) as rotation
+    matrices must reproduce the axis-angle forward exactly, for the body
+    and for full-rotation hands."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from animnerf_tpu.data.synthetic import make_body_model
+    from animnerf_tpu.smpl import body_model as bm
+    from animnerf_tpu.smpl.lbs import rodrigues
+
+    rng = np.random.default_rng(0)
+    B = 2
+
+    for mt, pose_dim in (("smpl", 69), ("smplh", 63)):
+        model = make_body_model(num_verts=200, seed=1, model_type=mt)
+        betas = jnp.asarray(rng.normal(scale=0.3, size=(B, 10)).astype(np.float32))
+        go = jnp.asarray(rng.normal(scale=0.4, size=(B, 3)).astype(np.float32))
+        body = jnp.asarray(rng.normal(scale=0.2, size=(B, pose_dim)).astype(np.float32))
+        transl = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+
+        kwargs = dict(betas=betas, global_orient=go, body_pose=body,
+                      transl=transl)
+        if mt == "smplh":
+            # axis-angle path decodes PCA: zero coefficients resolve to
+            # the hand MEAN pose; the Layer variant must be fed
+            # rodrigues(mean) to match (full rotations, no PCA decode)
+            n_pca = model.hand_components_l.shape[0]
+            zero_pca = jnp.zeros((B, n_pca))
+            kwargs.update(left_hand_pose=zero_pca, right_hand_pose=zero_pca)
+
+        out_aa = bm.forward(model, **kwargs)
+
+        rkw = dict(kwargs)
+        rkw["global_orient"] = rodrigues(go.reshape(B, 1, 3))
+        rkw["body_pose"] = rodrigues(body.reshape(B, -1, 3))
+        if mt == "smplh":
+            lh = rodrigues(jnp.broadcast_to(
+                model.hand_mean_l.reshape(15, 3), (B, 15, 3)))
+            rh = rodrigues(jnp.broadcast_to(
+                model.hand_mean_r.reshape(15, 3), (B, 15, 3)))
+            rkw.update(left_hand_pose=lh, right_hand_pose=rh)
+        out_rm = bm.forward(model, pose2rot=False, **rkw)
+
+        np.testing.assert_allclose(np.asarray(out_aa.vertices),
+                                   np.asarray(out_rm.vertices), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_aa.joints),
+                                   np.asarray(out_rm.joints), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_aa.vertices_transform),
+                                   np.asarray(out_rm.vertices_transform),
+                                   atol=1e-5)
