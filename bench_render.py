@@ -32,12 +32,40 @@ def main() -> None:
     cfg.remat = False
     system = AnimNeRFSystem(cfg, system.body_model)
 
-    params = system.init_params(
-        jax.random.PRNGKey(0),
-        init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1)))
-    body_params = params_for(1, 1)
-    tmpl = params_for(2, 1)
-    tmpl = dict(tmpl, transl=jnp.zeros_like(tmpl["transl"]))
+    # Prefer the committed TRAINED scale512 checkpoint (docs/demo/scale512):
+    # an untrained field has chaotic fine-sample depths, which inflates the
+    # fine survivor capacity ~3x over the trained steady state — the metric
+    # is "novel-view fps of a trained model", so bench that when available.
+    import os
+
+    demo = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "demo", "scale512", "ckpt")
+    if os.path.isdir(demo):
+        from animnerf_tpu.data.synthetic import make_body_model
+        from animnerf_tpu.training.checkpoints import load_params
+        from animnerf_tpu.utils.io import load_pickle_file as load_pickle
+
+        body_model = make_body_model(num_verts=6890, num_joints=24, seed=3)
+        system = AnimNeRFSystem(cfg, body_model)
+        params = system.init_params(
+            jax.random.PRNGKey(0),
+            init_body_params(4, pose_dim=3 * (num_joints - 1)))
+        params = load_params(demo, params, ["anim_nerf", "body_params"])
+        frame = load_pickle(os.path.join(demo, "smpl_000001.pkl"))
+        body_params = {k: jnp.asarray(np.asarray(v, np.float32)).reshape(1, -1)
+                       for k, v in frame.items()
+                       if k in ("betas", "global_orient", "body_pose",
+                                "transl")}
+        t = load_pickle(os.path.join(demo, "smpl_template.pkl"))
+        tmpl = {k: jnp.asarray(np.asarray(t[k], np.float32)).reshape(1, -1)
+                for k in ("betas", "global_orient", "body_pose", "transl")}
+    else:
+        params = system.init_params(
+            jax.random.PRNGKey(0),
+            init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1)))
+        body_params = params_for(1, 1)
+        tmpl = params_for(2, 1)
+        tmpl = dict(tmpl, transl=jnp.zeros_like(tmpl["transl"]))
 
     H = W = 512
     f = 1.2 * W
