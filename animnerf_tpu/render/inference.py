@@ -230,43 +230,52 @@ class Renderer:
 
     def _maybe_hit_fn(self, body_params, body_tmpl, rays, P):
         """(B, R) bool: could any sample of this ray be within
-        dis_threshold of the body? Conservative (Lipschitz-1 along the
-        ray; 8 vertex AABBs). Also returns the per-ray tightened far."""
-        cfg = self.system.renderer_cfg
+        dis_threshold of the body? Conservative proof of the contrary:
+        a sample is valid only if it is within thr of some vertex; that
+        vertex lies in one of the 32 vertex AABBs, so the sample is
+        within thr of that box, so the RAY SEGMENT [near, far] passes
+        within thr of it. Segment-vs-(L-inf thr-inflated)-box is a slab
+        test — exact along the ray (no sample-spacing slack) and free of
+        the (B, R, K, nb, 3) gap tensor a per-sample test materialises
+        (~1.6 GB at 512^2, ~0.18 s/view of pure HBM traffic). Also
+        returns the per-ray tightened far."""
         scene_cfg = self.system.scene_cfg
         ctx = prepare_frame(self.system.body_model, body_params, body_tmpl)
         rays_root = rays_to_root_frame(ctx, rays)
         o = jnp.einsum("ij,brj->bri", P[:3, :3], rays_root[..., 0:3]) + P[:3, 3]
         d = jnp.einsum("ij,brj->bri", P[:3, :3], rays_root[..., 3:6])
-        rays_root = jnp.concatenate([o, d, rays_root[..., 6:8]], axis=-1)
 
-        from animnerf_tpu.render.volume_renderer import sample_coarse
-
-        z = sample_coarse(cfg, rays_root, 0.0, None)  # (B, R, Kc)
-        pts = (rays_root[..., None, 0:3]
-               + z[..., None] * rays_root[..., None, 3:6])  # (B, R, K, 3)
-
-        # 8 vertex AABBs over index chunks (SMPL ordering is spatially
-        # semi-coherent, so the boxes are reasonably tight)
+        # vertex AABBs over index chunks — Morton-tight would be ideal,
+        # but index chunks of the (possibly arbitrary-order) mesh are kept
+        # for cheapness; 32 boxes bound the slack
         B, V = ctx.verts.shape[:2]
-        nb = 8
+        nb = 32
         pad = (-V) % nb
         vv = jnp.pad(ctx.verts, ((0, 0), (0, pad), (0, 0)), mode="edge")
         vv = vv.reshape(B, nb, -1, 3)
-        lo = vv.min(axis=2)  # (B, nb, 3)
-        hi = vv.max(axis=2)
-
-        gap = jnp.maximum(
-            jnp.maximum(lo[:, None, None] - pts[:, :, :, None], 0.0),
-            jnp.maximum(pts[:, :, :, None] - hi[:, None, None], 0.0))
-        lb = jnp.sqrt(jnp.sum(gap * gap, axis=-1)).min(axis=-1)  # (B, R, K)
-
-        # Lipschitz cover of the whole [z_0, z_last] segment: any point
-        # between samples i, i+1 is within spacing of one of them
-        spacing = jnp.max(z[..., 1:] - z[..., :-1], axis=-1)  # (B, R)
         thr = scene_cfg.dis_threshold
-        maybe = jnp.any(lb < (thr + spacing[..., None]), axis=-1)  # (B, R)
-        return maybe, rays_root[..., 7]
+        lo = vv.min(axis=2) - thr  # (B, nb, 3) L-inf inflation covers L2
+        hi = vv.max(axis=2) + thr
+
+        near = rays_root[..., 6]
+        far = rays_root[..., 7]
+        # safe reciprocal; d == 0 axes are overwritten by `inside` below
+        inv = 1.0 / jnp.where(d == 0, 1.0, d)
+        t0 = (lo[:, None] - o[:, :, None]) * inv[:, :, None]   # (B, R, nb, 3)
+        t1 = (hi[:, None] - o[:, :, None]) * inv[:, :, None]
+        tmin = jnp.minimum(t0, t1)
+        tmax = jnp.maximum(t0, t1)
+        # d == 0 on an axis: inside the slab iff lo <= o <= hi
+        inside = ((o[:, :, None] >= lo[:, None])
+                  & (o[:, :, None] <= hi[:, None]))
+        tmin = jnp.where((d == 0)[:, :, None], jnp.where(inside, -jnp.inf,
+                                                         jnp.inf), tmin)
+        tmax = jnp.where((d == 0)[:, :, None], jnp.where(inside, jnp.inf,
+                                                         -jnp.inf), tmax)
+        enter = jnp.maximum(tmin.max(axis=-1), near[..., None])  # (B, R, nb)
+        exit_ = jnp.minimum(tmax.min(axis=-1), far[..., None])
+        maybe = jnp.any(enter <= exit_, axis=-1)                 # (B, R)
+        return maybe, far
 
     def render_frame(self, params, body_params, body_tmpl, rays: np.ndarray,
                      P: Optional[np.ndarray] = None,

@@ -225,3 +225,49 @@ def test_render_stream_matches_render_frame(trained):
         np.testing.assert_allclose(img_s, img_f, atol=1e-5)
         np.testing.assert_allclose(mask_s, mask_f, atol=1e-5)
         np.testing.assert_allclose(depth_s, depth_f, atol=1e-4)
+
+def test_maybe_hit_is_conservative(trained):
+    """The segment-vs-inflated-AABB test must cover EVERY ray that has any
+    coarse sample within dis_threshold of a vertex (the exactness of the
+    background cull rests on this)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from animnerf_tpu.cli.common import (
+        load_cam_and_rays,
+        load_frame_params,
+        load_system_and_params,
+    )
+    from animnerf_tpu.models.warp import prepare_frame, rays_to_root_frame
+    from animnerf_tpu.render.inference import Renderer, turntable_rotation
+    from animnerf_tpu.render.volume_renderer import sample_coarse
+
+    cfg, ckpt, tmp = trained
+    system, params = load_system_and_params(cfg, ckpt)
+    _, body_params, template = load_frame_params(cfg, 1)
+    cam, rays = load_cam_and_rays(cfg, 0)
+
+    r = Renderer(system)
+    for vi in (0, 2):
+        P = turntable_rotation(vi, 5)
+        maybe, fars = jax.device_get(r._maybe_hit(
+            body_params, template, jnp.asarray(rays)[None], jnp.asarray(P)))
+        maybe = np.asarray(maybe[0])
+
+        # ground truth: any coarse sample within thr of any vertex
+        ctx = prepare_frame(system.body_model, body_params, template)
+        rr = rays_to_root_frame(ctx, jnp.asarray(rays)[None])
+        o = jnp.einsum("ij,brj->bri", jnp.asarray(P)[:3, :3],
+                       rr[..., 0:3]) + jnp.asarray(P)[:3, 3]
+        d = jnp.einsum("ij,brj->bri", jnp.asarray(P)[:3, :3], rr[..., 3:6])
+        rr = jnp.concatenate([o, d, rr[..., 6:8]], axis=-1)
+        z = sample_coarse(system.renderer_cfg, rr, 0.0, None)
+        pts = rr[..., None, 0:3] + z[..., None] * rr[..., None, 3:6]
+        d2 = jnp.sum((pts[0, :, :, None] - ctx.verts[0][None, None]) ** 2,
+                     axis=-1)
+        true_hit = np.asarray(
+            jnp.any(jnp.sqrt(d2.min(axis=-1))
+                    < system.scene_cfg.dis_threshold, axis=-1))
+        missed = true_hit & ~maybe
+        assert not missed.any(), f"view {vi}: cull missed {missed.sum()} rays"
