@@ -235,13 +235,25 @@ def unpose(
             warp_blend,
         )
 
+        import os
+
+        from animnerf_tpu.ops.knn_pallas import knn_pallas
+
         B, N = xyz.shape[:2]
         V, J = ctx.lbs_weights.shape
         verts_c = jax.lax.stop_gradient(ctx.verts)
         perm = jnp.argsort(morton_codes(verts_c), axis=1)
         inv = jnp.argsort(perm, axis=1)
         verts_p = jnp.take_along_axis(verts_c, perm[..., None], axis=1)
-        dists, idx = knn(xyz, verts_p, k=k, far_skip=fs)
+        # kernel-native (B, k, N) flows straight into the blend kernel —
+        # no (B, N, k) retiling round trip
+        dists, idx = knn_pallas(
+            xyz, verts_p, k=k,
+            tile_n=int(os.environ.get("ANIMNERF_KNN_TILE_N", "1024")),
+            tile_v=int(os.environ.get("ANIMNERF_KNN_TILE_V", "512")),
+            far_skip=fs,
+            packed=os.environ.get("ANIMNERF_KNN_PACKED", "1") == "1",
+            transposed_out=True)
 
         table = jnp.concatenate(
             [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
@@ -249,7 +261,7 @@ def unpose(
         table_p = permute_rows(table, perm, inv)
         xyz_cano, viewdir, blended_dist = warp_blend(
             xyz, viewdir, dists, idx, table_p, J, float(weight_std), 0.9,
-            bool(unpose_view))
+            bool(unpose_view), True)
         valid = (blended_dist < dis_threshold).astype(xyz.dtype)
         return xyz_cano, viewdir, valid
 

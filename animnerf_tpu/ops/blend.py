@@ -106,13 +106,22 @@ def _scatter_kernel(idx_ref, w_ref, g_ref, out_ref, cand_ref, *,
     jax.lax.fori_loop(0, cnt, body, 0)
 
 
-@partial(jax.jit, static_argnames=("num_rows", "tile_n", "tile_v", "interpret"))
+@partial(jax.jit, static_argnames=("num_rows", "tile_n", "tile_v",
+                                   "interpret", "transposed_in"))
 def weighted_scatter_rows_pallas(idx: jax.Array, w: jax.Array, g: jax.Array,
                                  num_rows: int, tile_n: int = 1024,
                                  tile_v: int = 512,
-                                 interpret: bool = False) -> jax.Array:
-    """Pallas TPU weighted row scatter; same contract as the jnp version."""
-    B, N, k = idx.shape
+                                 interpret: bool = False,
+                                 transposed_in: bool = False) -> jax.Array:
+    """Pallas TPU weighted row scatter; same contract as the jnp version.
+
+    transposed_in=True: idx/w arrive as (B, k, N) — the layout the kNN and
+    warp-blend kernels natively produce — skipping two retiling
+    transposes of 1.5M-row tensors. g stays (B, N, F)."""
+    if transposed_in:
+        B, k, N = idx.shape
+    else:
+        B, N, k = idx.shape
     F = g.shape[-1]
     pad_n = (-N) % tile_n
     pad_v = (-num_rows) % tile_v
@@ -120,9 +129,13 @@ def weighted_scatter_rows_pallas(idx: jax.Array, w: jax.Array, g: jax.Array,
     n_vt = Vp // tile_v
 
     # padded points: w = 0 -> contribute nothing (idx pad 0 is in range)
-    idx_p = jnp.pad(idx, ((0, 0), (0, pad_n), (0, 0))).transpose(0, 2, 1)
-    w_p = jnp.pad(w.astype(jnp.float32),
-                  ((0, 0), (0, pad_n), (0, 0))).transpose(0, 2, 1)
+    if transposed_in:
+        idx_p = jnp.pad(idx, ((0, 0), (0, 0), (0, pad_n)))
+        w_p = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, 0), (0, pad_n)))
+    else:
+        idx_p = jnp.pad(idx, ((0, 0), (0, pad_n), (0, 0))).transpose(0, 2, 1)
+        w_p = jnp.pad(w.astype(jnp.float32),
+                      ((0, 0), (0, pad_n), (0, 0))).transpose(0, 2, 1)
     g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, pad_n), (0, 0)))
     Np = N + pad_n
 
@@ -158,10 +171,16 @@ def _on_tpu() -> bool:
 
 
 def weighted_scatter_rows(idx: jax.Array, w: jax.Array, g: jax.Array,
-                          num_rows: int) -> jax.Array:
-    """Platform dispatcher: Pallas kernel on TPU, XLA scatter elsewhere."""
+                          num_rows: int,
+                          transposed_in: bool = False) -> jax.Array:
+    """Platform dispatcher: Pallas kernel on TPU, XLA scatter elsewhere.
+    transposed_in: idx/w are (B, k, N) kernel-native (see the pallas
+    variant); the jnp fallback transposes them back."""
     if _on_tpu():
-        return weighted_scatter_rows_pallas(idx, w, g, num_rows)
+        return weighted_scatter_rows_pallas(idx, w, g, num_rows,
+                                            transposed_in=transposed_in)
+    if transposed_in:
+        idx, w = idx.transpose(0, 2, 1), w.transpose(0, 2, 1)
     return weighted_scatter_rows_jnp(idx, w, g, num_rows)
 
 

@@ -316,11 +316,12 @@ def min_dist_pallas(points: jax.Array, verts: jax.Array,
 
 @partial(jax.jit,
          static_argnames=("k", "tile_n", "tile_v", "interpret", "cull",
-                          "far_skip", "packed"))
+                          "far_skip", "packed", "transposed_out"))
 def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
                tile_n: int = 1024, tile_v: int = 512,
                interpret: bool = False, cull: bool = False,
-               far_skip: float = 0.0, packed: bool = False):
+               far_skip: float = 0.0, packed: bool = False,
+               transposed_out: bool = False):
     """Exact kNN, same contract as ops.knn.knn: (B,N,3),(B,N,k) ->
     dists (B,N,k) ascending + idx (B,N,k). `cull` enables the exact
     AABB tile-skip; `far_skip` (= dis_threshold) enables the pipeline-exact
@@ -403,6 +404,10 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
         interpret=interpret,
     )(pts_t, vts_t, vbox)
 
+    if transposed_out:
+        # kernel-native (B, k, N) — what the fused warp-blend consumes;
+        # skips two (B, N, k) retiling transposes
+        return jax.lax.stop_gradient(out_d[:, :, :N]), out_i[:, :, :N]
     d = jax.lax.stop_gradient(out_d.transpose(0, 2, 1)[:, :N])
     i = out_i.transpose(0, 2, 1)[:, :N]
     return d, i

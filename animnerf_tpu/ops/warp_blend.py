@@ -138,19 +138,25 @@ def _warp_blend_kernel(xyz_ref, d_ref, i_ref, tab_ref,
 
 
 @partial(jax.jit, static_argnames=("num_lbs", "weight_std", "conf_gate",
-                                   "warp_view", "tile_n", "interpret"))
+                                   "warp_view", "tile_n", "interpret",
+                                   "inputs_t"))
 def warp_blend_fwd_pallas(xyz: jax.Array, viewdir: Optional[jax.Array],
                           dists: jax.Array, idx: jax.Array,
                           table: jax.Array, num_lbs: int,
                           weight_std: float, conf_gate: float,
                           warp_view: bool = False, tile_n: int = 1024,
-                          interpret: bool = False):
+                          interpret: bool = False, inputs_t: bool = False):
     """xyz (B,N,3), dists/idx (B,N,k), table (B,V,num_lbs+16) ->
     (out (B,8,Np) rows [x'|y'|z'|bd|vd'(3)|0], w (B,k,Np), bf (B,16,Np)).
 
-    Np = N padded to tile_n. Padded-point outputs are garbage (their idx
-    pads to 0) — callers slice [:N]."""
-    B, N, k = idx.shape
+    inputs_t=True: dists/idx arrive TRANSPOSED as (B, k, N) — the layout
+    the kNN kernel natively emits — skipping two 1.5M-row retiling
+    transposes. Np = N padded to tile_n. Padded-point outputs are garbage
+    (their idx pads to 0) — callers slice [:N]."""
+    if inputs_t:
+        B, k, N = idx.shape
+    else:
+        B, N, k = idx.shape
     V, F = table.shape[1:]
     pad_n = (-N) % tile_n
     Np = N + pad_n
@@ -173,10 +179,14 @@ def warp_blend_fwd_pallas(xyz: jax.Array, viewdir: Optional[jax.Array],
     rows.append(jnp.zeros((B, 1, N), jnp.float32))
     xyz_t = jnp.pad(jnp.concatenate(rows, axis=1), ((0, 0), (0, 0), (0, pad_n)))
 
-    d_t = jnp.pad(dists.astype(jnp.float32).transpose(0, 2, 1),
-                  ((0, 0), (0, 0), (0, pad_n)))
-    i_t = jnp.pad(idx.astype(jnp.int32).transpose(0, 2, 1),
-                  ((0, 0), (0, 0), (0, pad_n)))
+    if inputs_t:
+        d_t = jnp.pad(dists.astype(jnp.float32), ((0, 0), (0, 0), (0, pad_n)))
+        i_t = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, 0), (0, pad_n)))
+    else:
+        d_t = jnp.pad(dists.astype(jnp.float32).transpose(0, 2, 1),
+                      ((0, 0), (0, 0), (0, pad_n)))
+        i_t = jnp.pad(idx.astype(jnp.int32).transpose(0, 2, 1),
+                      ((0, 0), (0, 0), (0, pad_n)))
 
     kernel = partial(_warp_blend_kernel, k=k, num_lbs=num_lbs,
                      n_chunks=NC,
@@ -270,20 +280,22 @@ permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 # ------------------------------------------------------- custom-VJP wrapper
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def warp_blend(xyz: jax.Array, viewdir: Optional[jax.Array],
                dists: jax.Array, idx: jax.Array, table: jax.Array,
                num_lbs: int, weight_std: float, conf_gate: float,
-               warp_view: bool = False):
+               warp_view: bool = False, inputs_t: bool = False):
     """Fused unpose: returns (xyz_cano (B,N,3), viewdir_out, blended_dist
     (B,N,1)). viewdir_out is the warped viewdir when warp_view else the
-    input viewdir unchanged (may be None).
+    input viewdir unchanged (may be None). inputs_t: dists/idx are
+    (B, k, N) kernel-native transposed.
 
     Differentiable through xyz and the 16 transform columns of table;
     dists / the LBS-weight gate are constants (reference semantics)."""
     out, _, _ = warp_blend_fwd_pallas(
         xyz, viewdir, jax.lax.stop_gradient(dists), idx,
-        table, num_lbs, weight_std, conf_gate, warp_view=warp_view)
+        table, num_lbs, weight_std, conf_gate, warp_view=warp_view,
+        inputs_t=inputs_t)
     N = xyz.shape[1]
     cano = out[:, 0:3, :N].transpose(0, 2, 1)
     bd = out[:, 3:4, :N].transpose(0, 2, 1)
@@ -292,23 +304,27 @@ def warp_blend(xyz: jax.Array, viewdir: Optional[jax.Array],
 
 
 def _warp_blend_fwd(xyz, viewdir, dists, idx, table, num_lbs, weight_std,
-                    conf_gate, warp_view):
+                    conf_gate, warp_view, inputs_t):
     dists = jax.lax.stop_gradient(dists)
     out, w, bf = warp_blend_fwd_pallas(
         xyz, viewdir, dists, idx, table, num_lbs, weight_std, conf_gate,
-        warp_view=warp_view)
+        warp_view=warp_view, inputs_t=inputs_t)
     N = xyz.shape[1]
     cano = out[:, 0:3, :N].transpose(0, 2, 1)
     bd = out[:, 3:4, :N].transpose(0, 2, 1)
     vd = out[:, 4:7, :N].transpose(0, 2, 1) if warp_view else viewdir
-    res = (xyz, viewdir, idx, w[:, :, :N].transpose(0, 2, 1),
-           bf[:, :, :N].transpose(0, 2, 1), table.shape[1],
-           dists.shape[-1])
+    # residuals stay in the kernel's transposed layout — the scatter
+    # backward consumes (B, k, N) directly (transposed_in)
+    i_t = idx if inputs_t else idx.transpose(0, 2, 1)
+    k = i_t.shape[1]
+    res = (xyz, viewdir, i_t[:, :, :N], w[:, :, :N], bf[:, :, :N],
+           table.shape[1], k)
     return (cano, vd, bd), res
 
 
-def _warp_blend_bwd(num_lbs, weight_std, conf_gate, warp_view, res, cts):
-    xyz, viewdir, idx, w, bf, V, k = res
+def _warp_blend_bwd(num_lbs, weight_std, conf_gate, warp_view, inputs_t,
+                    res, cts):
+    xyz, viewdir, i_t, w_t, bf_t, V, k = res
     d_cano, d_vd, _ = cts  # d(blended_dist) is dead: bd = f(consts)
     B, N = xyz.shape[:2]
 
@@ -323,25 +339,27 @@ def _warp_blend_bwd(num_lbs, weight_std, conf_gate, warp_view, res, cts):
         [d_T3, jnp.zeros((B, N, 1, 4), d_T3.dtype)], axis=-2
     ).reshape(B, N, 16)
 
-    d_t16 = weighted_scatter_rows(idx, w, d_bf, V)            # (B,V,16)
+    d_t16 = weighted_scatter_rows(i_t, w_t, d_bf, V,
+                                  transposed_in=True)         # (B,V,16)
     d_table = jnp.concatenate(
         [jnp.zeros((B, V, num_lbs), d_t16.dtype), d_t16], axis=-1)
 
-    R = bf.reshape(B, N, 4, 4)[..., :3, :3]
-    d_xyz = jnp.einsum("bnij,bni->bnj", R, d_cano,
+    R = bf_t.reshape(B, 4, 4, N)[:, :3, :3]                   # (B,3,3,N)
+    d_xyz = jnp.einsum("bijn,bni->bnj", R, d_cano,
                        precision=jax.lax.Precision.HIGHEST)
     if viewdir is None:
         d_viewdir = None
     elif warp_view and d_vd is not None:
-        d_viewdir = jnp.einsum("bnij,bni->bnj", R, d_vd,
+        d_viewdir = jnp.einsum("bijn,bni->bnj", R, d_vd,
                                precision=jax.lax.Precision.HIGHEST)
     elif d_vd is not None:
         d_viewdir = d_vd  # vd output was the input passed through
     else:
         d_viewdir = jnp.zeros_like(viewdir)
 
-    d_dists = jnp.zeros((B, N, k), d_xyz.dtype)
-    d_idx = np.zeros(idx.shape, jax.dtypes.float0)
+    dshape = (B, k, N) if inputs_t else (B, N, k)
+    d_dists = jnp.zeros(dshape, d_xyz.dtype)
+    d_idx = np.zeros(dshape, jax.dtypes.float0)
     return d_xyz, d_viewdir, d_dists, d_idx, d_table
 
 

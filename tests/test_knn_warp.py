@@ -403,3 +403,21 @@ def test_knn_pallas_packed_far_skip_semantics():
     assert (np.asarray(d_fs)[:, 128:] > thr).all()
     assert (np.asarray(i_fs)[:, 128:] == 0).all()
     assert ((np.asarray(d_fs) < thr) == (np.asarray(d_ex) < thr)).all()
+
+
+def test_knn_pallas_transposed_out():
+    import numpy as np
+
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32))
+    verts = jnp.asarray(rng.normal(size=(2, 150, 3)).astype(np.float32))
+    d, i = knn_pallas(pts, verts, k=4, tile_n=256, tile_v=128,
+                      interpret=True)
+    d_t, i_t = knn_pallas(pts, verts, k=4, tile_n=256, tile_v=128,
+                          interpret=True, transposed_out=True)
+    np.testing.assert_array_equal(np.asarray(i_t.transpose(0, 2, 1)),
+                                  np.asarray(i))
+    np.testing.assert_allclose(np.asarray(d_t.transpose(0, 2, 1)),
+                               np.asarray(d), atol=0)

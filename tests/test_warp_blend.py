@@ -211,3 +211,42 @@ def test_permute_rows_grad_is_inverse_gather():
     g2 = jax.grad(lambda x: jnp.sum(
         (jnp.take_along_axis(x, perm[..., None], axis=1) - tgt) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def test_transposed_inputs_match_point_major():
+    """inputs_t=True ((B,k,N) kNN-native dists/idx) must equal the
+    point-major path, forward and gradients (incl. the transposed
+    scatter-backward plumbing)."""
+    xyz, dists, idx, table = _rig(B=1, N=256, V=200, seed=13)
+    d_t = dists.transpose(0, 2, 1)
+    i_t = idx.transpose(0, 2, 1)
+    tgt = jnp.asarray(np.random.default_rng(1).normal(
+        size=(1, 256, 3)).astype(np.float32))
+
+    import animnerf_tpu.ops.warp_blend as WB
+    orig = WB.warp_blend_fwd_pallas
+
+    def patched(*a, **kw):
+        kw.update(tile_n=256, interpret=True)
+        return orig(*a, **kw)
+
+    WB.warp_blend_fwd_pallas = patched
+    try:
+        def loss_pm(xyz, table):
+            cano, _, _ = warp_blend(xyz, None, dists, idx, table,
+                                    J, 0.1, 0.9, False, False)
+            return jnp.sum((cano - tgt) ** 2)
+
+        def loss_t(xyz, table):
+            cano, _, _ = warp_blend(xyz, None, d_t, i_t, table,
+                                    J, 0.1, 0.9, False, True)
+            return jnp.sum((cano - tgt) ** 2)
+
+        l1, (gx1, gt1) = jax.value_and_grad(loss_pm, argnums=(0, 1))(xyz, table)
+        l2, (gx2, gt2) = jax.value_and_grad(loss_t, argnums=(0, 1))(xyz, table)
+    finally:
+        WB.warp_blend_fwd_pallas = orig
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2), atol=1e-6)
