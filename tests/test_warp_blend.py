@@ -250,3 +250,34 @@ def test_transposed_inputs_match_point_major():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2), atol=1e-6)
+
+
+@pytest.mark.parametrize("k,J_", [(2, 24), (8, 24), (4, 5), (4, 16)])
+def test_generic_k_and_lbs_dims(k, J_):
+    """k != 4 (k_neigh is configurable) and non-SMPL LBS dims (FLAME J=5
+    pads the table feature axis to 24; MANO J=16 gives F=32)."""
+    rng = np.random.default_rng(k * 100 + J_)
+    B, N, V = 1, 256, 260
+    verts = rng.normal(scale=0.4, size=(B, V, 3)).astype(np.float32)
+    pts = rng.normal(scale=0.5, size=(B, N, 3)).astype(np.float32)
+    d2 = np.sum((pts[:, :, None] - verts[:, None]) ** 2, axis=-1)
+    idx = np.argsort(d2, axis=-1)[..., :k].astype(np.int32)
+    dists = np.sqrt(np.take_along_axis(d2, idx, axis=-1)).astype(np.float32)
+    lbs = rng.dirichlet(np.ones(J_), size=V // 5 + 1).astype(np.float32)
+    lbs = np.repeat(lbs, 5, axis=0)[:V]
+    T = rng.normal(scale=0.3, size=(B, V, 16)).astype(np.float32)
+    table = np.concatenate([np.broadcast_to(lbs, (B, V, J_)), T],
+                           axis=-1).astype(np.float32)
+    pts, dists, idx, table = map(jnp.asarray, (pts, dists, idx, table))
+
+    out, w, bf = warp_blend_fwd_pallas(
+        pts, None, dists, idx, table, J_, 0.1, 0.9, tile_n=256,
+        interpret=True)
+    cano = out[:, 0:3, :N].transpose(0, 2, 1)
+
+    bd_ref, bf_ref = gather_blend(table, dists, idx, J_, 0.1, 0.9)
+    Tm = bf_ref.reshape(B, N, 4, 4)
+    cano_ref = (jnp.einsum("bnij,bnj->bni", Tm[..., :3, :3], pts)
+                + Tm[..., :3, 3])
+    np.testing.assert_allclose(np.asarray(cano), np.asarray(cano_ref),
+                               atol=1e-5, rtol=1e-5)
