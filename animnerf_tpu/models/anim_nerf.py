@@ -284,3 +284,52 @@ class AnimNeRFModel:
         xyz, viewdir, valid = self.warp_points(ctx, xyz, viewdir)
         return self.field_points(params, xyz, viewdir, valid, use_fine,
                                  deformation_code, apperance_code)
+
+
+# ---------------------------------------------------------------------------
+# rows-native (transposed) pipeline hooks — see render_rays_rows
+# ---------------------------------------------------------------------------
+
+
+def _rows_path_ok(model: "AnimNeRFModel") -> bool:
+    """The transposed pipeline covers the flagship configuration: fused
+    MLP applicable, fused warp on (TPU), no viewdir warping, no DeRF."""
+    from animnerf_tpu.models.warp import _fused_warp_enabled
+
+    c = model.cfg
+    return (model.use_fused_mlp and c.use_unpose and not c.unpose_view
+            and not c.use_deformation and _fused_warp_enabled())
+
+
+def _warp_rows(model: "AnimNeRFModel", ctx, xyz_t):
+    from animnerf_tpu.models.warp import unpose_rows
+
+    c = model.cfg
+    return unpose_rows(ctx, xyz_t, k=c.k_neigh, weight_std=c.weight_std,
+                       far_skip=c.dis_threshold if c.knn_far_skip else 0.0)
+
+
+def _field_rows(model: "AnimNeRFModel", params: dict, rows, use_fine: bool):
+    """rows (B, 8, N) [x'|y'|z'|bd|..] -> (B, 8, N) [r|g|b|sigma|0..] with
+    the outside-shell sigma fill (reference anim_nerf.py:298-307)."""
+    import jax.numpy as jnp
+
+    from animnerf_tpu.ops.fused_mlp import fused_nerf_rows, pack_params
+
+    c = model.cfg
+    _, key = model._field(use_fine)
+    ws, bs = pack_params(params[key], c.freqs_xyz,
+                         dtype=jnp.dtype(c.compute_dtype))
+    out = fused_nerf_rows(rows, ws, bs, n_freqs=c.freqs_xyz,
+                          dtype_name=c.compute_dtype)
+    valid = rows[:, 3:4] < c.dis_threshold
+    sigma = jnp.where(valid, out[:, 3:4], SIGMA_OUTSIDE)
+    rgb = out[:, 0:3]
+    if c.query_inside:
+        rgb = jnp.where(valid, rgb, 0.0)
+    return jnp.concatenate([rgb, sigma, out[:, 4:]], axis=1)
+
+
+AnimNeRFModel.rows_path_ok = property(_rows_path_ok)
+AnimNeRFModel.warp_rows = _warp_rows
+AnimNeRFModel.field_rows = _field_rows

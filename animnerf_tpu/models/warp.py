@@ -321,3 +321,46 @@ def unpose_with_knn(
         # batch_transform default) — replicated deliberately.
         viewdir = transform_points(T, viewdir, directional=False)
     return xyz_cano, viewdir, valid
+
+
+def unpose_rows(
+    ctx: FrameContext,
+    xyz_t: jax.Array,
+    k: int = 4,
+    weight_std: float = 0.1,
+    far_skip: float = 0.0,
+) -> jax.Array:
+    """Rows-native unpose for the transposed pipeline: xyz_t (B, 8, N)
+    rows [x|y|z|0..] -> (B, 8, N) rows [x'|y'|z'|blended_dist|0..].
+    Same math as unpose() minus viewdir warping (callers are gated to
+    unpose_view=False); validity is derived downstream from the
+    blended-dist row (< dis_threshold)."""
+    import os
+
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+    from animnerf_tpu.ops.warp_blend import (
+        morton_codes,
+        permute_rows,
+        warp_blend_rows,
+    )
+
+    B = xyz_t.shape[0]
+    V, J = ctx.lbs_weights.shape
+    verts_c = jax.lax.stop_gradient(ctx.verts)
+    perm = jnp.argsort(morton_codes(verts_c), axis=1)
+    inv = jnp.argsort(perm, axis=1)
+    verts_p = jnp.take_along_axis(verts_c, perm[..., None], axis=1)
+    dists, idx = knn_pallas(
+        xyz_t[:, 0:3], verts_p, k=k,
+        tile_n=int(os.environ.get("ANIMNERF_KNN_TILE_N", "1024")),
+        tile_v=int(os.environ.get("ANIMNERF_KNN_TILE_V", "512")),
+        far_skip=far_skip,
+        packed=os.environ.get("ANIMNERF_KNN_PACKED", "1") == "1",
+        transposed_out=True, points_t_in=True)
+
+    table = jnp.concatenate(
+        [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
+         ctx.ober2cano.reshape(B, V, 16)], axis=-1)
+    table_p = permute_rows(table, perm, inv)
+    return warp_blend_rows(xyz_t, dists, idx, table_p, J,
+                           float(weight_std), 0.9)

@@ -57,7 +57,7 @@ def weighted_scatter_rows_jnp(idx: jax.Array, w: jax.Array, g: jax.Array,
 
 
 def _scatter_kernel(idx_ref, w_ref, g_ref, out_ref, cand_ref, *,
-                    tile_v: int, n_vert_tiles: int):
+                    tile_v: int, n_vert_tiles: int, g_t: bool = False):
     """Grid (B, N/TILE_N), sequential. idx/w (1, k, TN); g (1, TN, F);
     out (1, Vp, F) — same block for every point tile of a batch element, so
     it stays VMEM-resident and accumulates across the sequential grid.
@@ -73,7 +73,7 @@ def _scatter_kernel(idx_ref, w_ref, g_ref, out_ref, cand_ref, *,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     k, tn = idx_ref.shape[1], idx_ref.shape[2]
-    g = g_ref[0]  # (TN, F)
+    g = g_ref[0]  # (TN, F), or (F, TN) when g_t
 
     # candidate vertex tiles referenced by this point tile
     tids = idx_ref[0] // tile_v  # (k, TN)
@@ -98,7 +98,7 @@ def _scatter_kernel(idx_ref, w_ref, g_ref, out_ref, cand_ref, *,
             w_row = w_ref[0, kk, :].reshape(1, tn)
             S = jnp.where(col == idx_row, S + w_row, S)
         upd = jax.lax.dot_general(
-            S, g, (((1,), (0,)), ((), ())),
+            S, g, (((1,), (1 if g_t else 0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (TILE_V, F)
         out_ref[0, pl.ds(off, tile_v), :] += upd
         return 0
@@ -107,22 +107,25 @@ def _scatter_kernel(idx_ref, w_ref, g_ref, out_ref, cand_ref, *,
 
 
 @partial(jax.jit, static_argnames=("num_rows", "tile_n", "tile_v",
-                                   "interpret", "transposed_in"))
+                                   "interpret", "transposed_in", "g_t"))
 def weighted_scatter_rows_pallas(idx: jax.Array, w: jax.Array, g: jax.Array,
                                  num_rows: int, tile_n: int = 1024,
                                  tile_v: int = 512,
                                  interpret: bool = False,
-                                 transposed_in: bool = False) -> jax.Array:
+                                 transposed_in: bool = False,
+                                 g_t: bool = False) -> jax.Array:
     """Pallas TPU weighted row scatter; same contract as the jnp version.
 
     transposed_in=True: idx/w arrive as (B, k, N) — the layout the kNN and
     warp-blend kernels natively produce — skipping two retiling
-    transposes of 1.5M-row tensors. g stays (B, N, F)."""
+    transposes of 1.5M-row tensors. g stays (B, N, F) unless g_t, in which
+    case g is (B, F, N) (rows-native cotangents) and the kernel's MXU
+    contraction simply contracts the other dimension."""
     if transposed_in:
         B, k, N = idx.shape
     else:
         B, N, k = idx.shape
-    F = g.shape[-1]
+    F = g.shape[1] if g_t else g.shape[-1]
     pad_n = (-N) % tile_n
     pad_v = (-num_rows) % tile_v
     Vp = num_rows + pad_v
@@ -136,19 +139,25 @@ def weighted_scatter_rows_pallas(idx: jax.Array, w: jax.Array, g: jax.Array,
         idx_p = jnp.pad(idx, ((0, 0), (0, pad_n), (0, 0))).transpose(0, 2, 1)
         w_p = jnp.pad(w.astype(jnp.float32),
                       ((0, 0), (0, pad_n), (0, 0))).transpose(0, 2, 1)
-    g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, pad_n), (0, 0)))
+    if g_t:
+        g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, 0), (0, pad_n)))
+    else:
+        g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, pad_n), (0, 0)))
     Np = N + pad_n
 
+    g_spec = (pl.BlockSpec((1, F, tile_n), lambda b, i: (b, 0, i),
+                           memory_space=pltpu.VMEM) if g_t else
+              pl.BlockSpec((1, tile_n, F), lambda b, i: (b, i, 0),
+                           memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        partial(_scatter_kernel, tile_v=tile_v, n_vert_tiles=n_vt),
+        partial(_scatter_kernel, tile_v=tile_v, n_vert_tiles=n_vt, g_t=g_t),
         grid=(B, Np // tile_n),
         in_specs=[
             pl.BlockSpec((1, k, tile_n), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, tile_n), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n, F), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
+            g_spec,
         ],
         out_specs=pl.BlockSpec((1, Vp, F), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -171,16 +180,20 @@ def _on_tpu() -> bool:
 
 
 def weighted_scatter_rows(idx: jax.Array, w: jax.Array, g: jax.Array,
-                          num_rows: int,
-                          transposed_in: bool = False) -> jax.Array:
+                          num_rows: int, transposed_in: bool = False,
+                          g_t: bool = False) -> jax.Array:
     """Platform dispatcher: Pallas kernel on TPU, XLA scatter elsewhere.
-    transposed_in: idx/w are (B, k, N) kernel-native (see the pallas
-    variant); the jnp fallback transposes them back."""
+    transposed_in: idx/w are (B, k, N) kernel-native; g_t: g is (B, F, N)
+    rows-native (see the pallas variant); the jnp fallback transposes
+    them back."""
     if _on_tpu():
         return weighted_scatter_rows_pallas(idx, w, g, num_rows,
-                                            transposed_in=transposed_in)
+                                            transposed_in=transposed_in,
+                                            g_t=g_t)
     if transposed_in:
         idx, w = idx.transpose(0, 2, 1), w.transpose(0, 2, 1)
+    if g_t:
+        g = g.transpose(0, 2, 1)
     return weighted_scatter_rows_jnp(idx, w, g, num_rows)
 
 

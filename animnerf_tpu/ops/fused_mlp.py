@@ -391,3 +391,20 @@ def fused_nerf(xyz: jax.Array, ws: tuple, bs: tuple, n_freqs: int = 10,
                     ((0, 5), (0, pad_m)))[None]  # (1, 8, Mp)
     out = _fused_core(xyz_t, ws, bs, n_freqs, tile, dtype_name)
     return out[0, 0:3, :M].T, out[0, 3:4, :M].T
+
+
+def fused_nerf_rows(rows: jax.Array, ws: tuple, bs: tuple,
+                    n_freqs: int = 10, tile: int = 1024,
+                    dtype_name: str = "bfloat16"):
+    """Rows-native fused MLP for the transposed pipeline: rows (B, 8, N)
+    with xyz in rows 0..2 (rows 3+ ignored by the encoding) ->
+    (B, 8, N) rows [r|g|b|sigma|0..]. Batch elements ride the lane axis
+    back-to-back — the (B, 8, N) -> (1, 8, B*N) reshape only swaps leading
+    dims (no lane/sublane retiling)."""
+    B, _, N = rows.shape
+    flat = rows.astype(jnp.float32).transpose(1, 0, 2).reshape(1, 8, B * N)
+    pad_m = (-(B * N)) % tile
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad_m)))
+    out = _fused_core(flat, ws, bs, n_freqs, tile, dtype_name)
+    out = out[:, :, :B * N].reshape(8, B, N).transpose(1, 0, 2)
+    return out

@@ -316,12 +316,13 @@ def min_dist_pallas(points: jax.Array, verts: jax.Array,
 
 @partial(jax.jit,
          static_argnames=("k", "tile_n", "tile_v", "interpret", "cull",
-                          "far_skip", "packed", "transposed_out"))
+                          "far_skip", "packed", "transposed_out",
+                          "points_t_in"))
 def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
                tile_n: int = 1024, tile_v: int = 512,
                interpret: bool = False, cull: bool = False,
                far_skip: float = 0.0, packed: bool = False,
-               transposed_out: bool = False):
+               transposed_out: bool = False, points_t_in: bool = False):
     """Exact kNN, same contract as ops.knn.knn: (B,N,3),(B,N,k) ->
     dists (B,N,k) ascending + idx (B,N,k). `cull` enables the exact
     AABB tile-skip; `far_skip` (= dis_threshold) enables the pipeline-exact
@@ -330,7 +331,10 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
     _knn_kernel). `packed` selects the faster packed-key kernel (distances
     quantized: 13 low mantissa bits dropped, <= 2^-10 relative on d2; winners exact under quantized ordering —
     see _packed_knn_kernel; incompatible with `cull`)."""
-    B, N, _ = points.shape
+    if points_t_in:  # (B, 3, N) rows — the fused pipeline's native form
+        B, _, N = points.shape
+    else:
+        B, N, _ = points.shape
     V = verts.shape[1]
     if packed:
         assert not cull, "packed kernel does not implement the AABB cull"
@@ -344,12 +348,17 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
 
     pad_n = (-N) % tile_n
     pad_v = (-V) % tile_v
-    pts = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, pad_n), (0, 0)))
+    if points_t_in:
+        pts_t = jnp.pad(points.astype(jnp.float32),
+                        ((0, 0), (0, 0), (0, pad_n)))
+    else:
+        pts = jnp.pad(points.astype(jnp.float32),
+                      ((0, 0), (0, pad_n), (0, 0)))
+        pts_t = pts.transpose(0, 2, 1)  # (B, 3, Np)
     vts = jnp.pad(verts.astype(jnp.float32), ((0, 0), (0, pad_v), (0, 0)),
                   constant_values=_BIG)
     Np, Vp = N + pad_n, V + pad_v
 
-    pts_t = pts.transpose(0, 2, 1)  # (B, 3, Np)
     vts_t = vts.transpose(0, 2, 1)  # (B, 3, Vp)
 
     # per-vertex-tile AABBs for the cull / far-skip bounds. Padded lanes are

@@ -1,0 +1,102 @@
+"""Per-ray payload permutation with samples on the LANE axis.
+
+The fine pass merges coarse+fine depths and re-orders every per-sample
+tensor by the depth sort. Point-major, that is a (B, R, K, C)
+take_along_axis — two latency-bound ~10 ms gathers per step (forward +
+the inverse-permutation VJP) at 1.5M rows. With the payload kept
+CHANNELS-LEADING as (B, C, R, K) — the layout the warp-blend and fused
+MLP kernels natively produce — each ray's K samples sit on lanes, so the
+permutation is a native single-vreg lane shuffle (`tpu.dynamic_gather`):
+one vector op per (ray, channel-block) instead of a strided HBM gather.
+
+K is padded to 128 lanes by the wrapper; order pads with self-indices so
+padding stays in place (callers give padded z = +inf so padded samples
+sort last AND composite to nothing).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _permute_kernel(pay_ref, ord_ref, out_ref, *, r_tile: int):
+    C = pay_ref.shape[1]
+    for r in range(r_tile):
+        row = ord_ref[0, r:r + 1, :]                        # (1, 128)
+        idx = jnp.broadcast_to(row, (C, LANES))
+        out_ref[0, :, r, :] = jnp.take_along_axis(
+            pay_ref[0, :, r, :], idx, axis=1)
+
+
+@partial(jax.jit, static_argnames=("r_tile", "interpret"))
+def _permute_lanes_pallas(payload: jax.Array, order: jax.Array,
+                          r_tile: int = 8, interpret: bool = False):
+    """payload (B, C, R, 128) f32, order (B, R, 128) i32 ->
+    out[b, c, r, j] = payload[b, c, r, order[b, r, j]]."""
+    B, C, R, L = payload.shape
+    assert L == LANES and order.shape == (B, R, L)
+    pad_r = (-R) % r_tile
+    pay = jnp.pad(payload, ((0, 0), (0, 0), (0, pad_r), (0, 0)))
+    ord_ = jnp.pad(order, ((0, 0), (0, pad_r), (0, 0)))
+    Rp = R + pad_r
+
+    out = pl.pallas_call(
+        partial(_permute_kernel, r_tile=r_tile),
+        grid=(B, Rp // r_tile),
+        in_specs=[
+            pl.BlockSpec((1, C, r_tile, LANES), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_tile, LANES), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, r_tile, LANES),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, Rp, LANES), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=B * C * Rp * LANES,
+            bytes_accessed=B * Rp * LANES * (2 * C + 1) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(pay, ord_)
+    return out[:, :, :R]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _permute_impl(payload, order, interpret=False):
+    if _on_tpu() or interpret:
+        return _permute_lanes_pallas(payload, order, interpret=interpret)
+    return jnp.take_along_axis(payload, order[:, None], axis=3)
+
+
+@jax.custom_vjp
+def permute_lanes(payload: jax.Array, order: jax.Array, inv: jax.Array):
+    """Differentiable lane permutation: payload (B, C, R, 128) re-ordered
+    along the last axis by `order` (B, R, 128), a PERMUTATION with
+    inv = argsort(order). The VJP is the inverse shuffle (a permutation's
+    adjoint), never a scatter."""
+    return _permute_impl(payload, order)
+
+
+def _permute_fwd(payload, order, inv):
+    return _permute_impl(payload, order), inv
+
+
+def _permute_bwd(inv, g):
+    return _permute_impl(g, inv), None, None
+
+
+permute_lanes.defvjp(_permute_fwd, _permute_bwd)

@@ -139,20 +139,23 @@ def _warp_blend_kernel(xyz_ref, d_ref, i_ref, tab_ref,
 
 @partial(jax.jit, static_argnames=("num_lbs", "weight_std", "conf_gate",
                                    "warp_view", "tile_n", "interpret",
-                                   "inputs_t"))
+                                   "inputs_t", "xyz_rows"))
 def warp_blend_fwd_pallas(xyz: jax.Array, viewdir: Optional[jax.Array],
                           dists: jax.Array, idx: jax.Array,
                           table: jax.Array, num_lbs: int,
                           weight_std: float, conf_gate: float,
                           warp_view: bool = False, tile_n: int = 1024,
-                          interpret: bool = False, inputs_t: bool = False):
+                          interpret: bool = False, inputs_t: bool = False,
+                          xyz_rows: bool = False):
     """xyz (B,N,3), dists/idx (B,N,k), table (B,V,num_lbs+16) ->
     (out (B,8,Np) rows [x'|y'|z'|bd|vd'(3)|0], w (B,k,Np), bf (B,16,Np)).
 
     inputs_t=True: dists/idx arrive TRANSPOSED as (B, k, N) — the layout
     the kNN kernel natively emits — skipping two 1.5M-row retiling
-    transposes. Np = N padded to tile_n. Padded-point outputs are garbage
-    (their idx pads to 0) — callers slice [:N]."""
+    transposes. xyz_rows=True: xyz is already the (B, 8, N) row form
+    [x|y|z|0|vx|vy|vz|0] (viewdir ignored). Np = N padded to tile_n.
+    Padded-point outputs are garbage (their idx pads to 0) — callers
+    slice [:N]."""
     if inputs_t:
         B, k, N = idx.shape
     else:
@@ -169,15 +172,20 @@ def warp_blend_fwd_pallas(xyz: jax.Array, viewdir: Optional[jax.Array],
                   ((0, 0), (0, pad_v), (0, Fp - F)))
     tab = tab.reshape(B, NC, CHUNK, Fp).transpose(0, 1, 3, 2)
 
-    # input rows [x|y|z|0|vx|vy|vz|0] — mirrors the output row layout
-    rows = [xyz.astype(jnp.float32).transpose(0, 2, 1),            # (B,3,N)
-            jnp.zeros((B, 1, N), jnp.float32)]
-    if warp_view and viewdir is not None:
-        rows.append(viewdir.astype(jnp.float32).transpose(0, 2, 1))
+    if xyz_rows:
+        xyz_t = jnp.pad(xyz.astype(jnp.float32),
+                        ((0, 0), (0, 0), (0, pad_n)))
     else:
-        rows.append(jnp.zeros((B, 3, N), jnp.float32))
-    rows.append(jnp.zeros((B, 1, N), jnp.float32))
-    xyz_t = jnp.pad(jnp.concatenate(rows, axis=1), ((0, 0), (0, 0), (0, pad_n)))
+        # input rows [x|y|z|0|vx|vy|vz|0] — mirrors the output row layout
+        rows = [xyz.astype(jnp.float32).transpose(0, 2, 1),        # (B,3,N)
+                jnp.zeros((B, 1, N), jnp.float32)]
+        if warp_view and viewdir is not None:
+            rows.append(viewdir.astype(jnp.float32).transpose(0, 2, 1))
+        else:
+            rows.append(jnp.zeros((B, 3, N), jnp.float32))
+        rows.append(jnp.zeros((B, 1, N), jnp.float32))
+        xyz_t = jnp.pad(jnp.concatenate(rows, axis=1),
+                        ((0, 0), (0, 0), (0, pad_n)))
 
     if inputs_t:
         d_t = jnp.pad(dists.astype(jnp.float32), ((0, 0), (0, 0), (0, pad_n)))
@@ -364,3 +372,71 @@ def _warp_blend_bwd(num_lbs, weight_std, conf_gate, warp_view, inputs_t,
 
 
 warp_blend.defvjp(_warp_blend_fwd, _warp_blend_bwd)
+
+
+# ------------------------------------------------- rows-native entry point
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def warp_blend_rows(xyz_t: jax.Array, dists_t: jax.Array, idx_t: jax.Array,
+                    table: jax.Array, num_lbs: int, weight_std: float,
+                    conf_gate: float):
+    """Rows-native fused unpose for the transposed pipeline: xyz_t
+    (B, 8, N) rows [x|y|z|0..], dists_t/idx_t (B, k, N) kNN-native ->
+    out (B, 8, N) rows [x'|y'|z'|blended_dist|0..]. No viewdir warping
+    (the transposed pipeline is gated to unpose_view=False configs).
+
+    Differentiable through xyz rows 0..2 and the transform columns of
+    table, like warp_blend."""
+    out, _, _ = warp_blend_fwd_pallas(
+        xyz_t, None, jax.lax.stop_gradient(dists_t), idx_t, table, num_lbs,
+        weight_std, conf_gate, warp_view=False, inputs_t=True,
+        xyz_rows=True)
+    return out[:, :, :xyz_t.shape[-1]]
+
+
+def _wbr_fwd(xyz_t, dists_t, idx_t, table, num_lbs, weight_std, conf_gate):
+    dists_t = jax.lax.stop_gradient(dists_t)
+    out, w, bf = warp_blend_fwd_pallas(
+        xyz_t, None, dists_t, idx_t, table, num_lbs, weight_std, conf_gate,
+        warp_view=False, inputs_t=True, xyz_rows=True)
+    N = xyz_t.shape[-1]
+    res = (xyz_t, idx_t, w[:, :, :N], bf[:, :, :N], table.shape[1])
+    return out[:, :, :N], res
+
+
+def _wbr_bwd(num_lbs, weight_std, conf_gate, res, d_out):
+    xyz_t, i_t, w_t, bf_t, V = res
+    B, _, N = xyz_t.shape
+    k = i_t.shape[1]
+    d_cano = d_out[:, 0:3]                                   # (B, 3, N)
+    # rows 3..7 carry no gradient: blended_dist = f(consts), rest zero
+
+    # d_bf rows: d_bf[4r+c] = d_cano[r] * xyzh[c], r < 3 (row 3 zero)
+    ones = jnp.ones((B, 1, N), xyz_t.dtype)
+    xyzh = jnp.concatenate([xyz_t[:, 0:3], ones], axis=1)    # (B, 4, N)
+    d_bf = jnp.concatenate(
+        [d_cano[:, r:r + 1] * xyzh for r in range(3)]
+        + [jnp.zeros((B, 4, N), xyz_t.dtype)], axis=1)       # (B, 16, N)
+
+    d_t16 = weighted_scatter_rows(i_t, w_t, d_bf, V, transposed_in=True,
+                                  g_t=True)                  # (B, V, 16)
+    d_table = jnp.concatenate(
+        [jnp.zeros((B, V, num_lbs), d_t16.dtype), d_t16], axis=-1)
+
+    # d_xyz rows: d_x[j] = sum_i R[i, j] * d_cano[i], R[i, j] = bf[4i+j]
+    d_rows = []
+    for j in range(3):
+        acc = bf_t[:, j:j + 1] * d_cano[:, 0:1]
+        acc = acc + bf_t[:, 4 + j:5 + j] * d_cano[:, 1:2]
+        acc = acc + bf_t[:, 8 + j:9 + j] * d_cano[:, 2:3]
+        d_rows.append(acc)
+    d_xyz_t = jnp.concatenate(
+        d_rows + [jnp.zeros((B, 5, N), xyz_t.dtype)], axis=1)
+
+    d_dists = jnp.zeros((B, k, N), d_xyz_t.dtype)
+    d_idx = np.zeros((B, k, N), jax.dtypes.float0)
+    return d_xyz_t, d_dists, d_idx, d_table
+
+
+warp_blend_rows.defvjp(_wbr_fwd, _wbr_bwd)

@@ -57,6 +57,17 @@ class Renderer:
 
         scene = self.system.scene
 
+        if scene.rows_path_ok and self.system.scene_cfg.deformation_dim == 0 \
+                and self.system.scene_cfg.apperance_dim == 0:
+            from animnerf_tpu.render.volume_renderer import render_rays_rows
+
+            return render_rays_rows(
+                self.system.renderer_cfg,
+                lambda xyz_t: scene.warp_rows(ctx, xyz_t),
+                lambda rows, fine: scene.field_rows(params["anim_nerf"],
+                                                    rows, fine),
+                rays_root, perturb=0.0)
+
         def warp_fn(xyz, viewdir):
             return scene.warp_points(ctx, xyz, viewdir)
 

@@ -353,3 +353,125 @@ def render_rays(cfg: RendererConfig, point_fn: PointFn, rays: jax.Array,
         return point_fn(xyz, viewdir, use_fine)
 
     return render_rays_split(cfg, warp_fn, field_fn, rays, perturb, key)
+
+
+# ---------------------------------------------------------------------------
+# rows-native (transposed) pipeline — samples ride the LANE axis end to end
+# ---------------------------------------------------------------------------
+
+
+def _rows_from_z(rays: jax.Array, z: jax.Array) -> jax.Array:
+    """(B, R, 8) rays x (B, R, K) depths -> (B, 8, R*K) rows [x|y|z|0..]:
+    the input form the fused warp/MLP kernels consume, built without ever
+    materialising point-major (B, R, K, 3)."""
+    B, R, K = z.shape
+    rows = [(rays[..., c:c + 1] + z * rays[..., 3 + c:4 + c]
+             ).reshape(B, 1, R * K) for c in range(3)]
+    rows.append(jnp.zeros((B, 5, R * K), z.dtype))
+    return jnp.concatenate(rows, axis=1)
+
+
+def composite_rows(cfg: RendererConfig, frows: jax.Array, rays: jax.Array,
+                   z_samp: jax.Array, perturb: float,
+                   key: Optional[jax.Array], far_inf: bool = True):
+    """composite() for channel-leading fields: frows (B, 8, R, K) rows
+    [r|g|b|sigma|..] -> (weights (B,R,K), rgb (B,R,3), depth, alpha_sum).
+    Reuses composite_weights verbatim (identical RNG draw)."""
+    sigmas = frows[:, 3]
+    weights, weights_sum = composite_weights(cfg, sigmas, rays, z_samp,
+                                             perturb, key, far_inf)
+    rgb = jnp.sum(weights[:, None] * frows[:, 0:3], axis=-1)  # (B, 3, R)
+    rgb = rgb.transpose(0, 2, 1)
+    depth = jnp.sum(weights * z_samp, axis=-1, keepdims=True)
+    if cfg.white_bkgd:
+        depth = depth + (1.0 - weights_sum) * rays[..., 7:8]
+        rgb = rgb + (1.0 - weights_sum)
+    return weights, rgb, depth, weights_sum
+
+
+def render_rays_rows(cfg: RendererConfig, warp_rows_fn, field_rows_fn,
+                     rays: jax.Array, perturb: float = 0.0,
+                     key: Optional[jax.Array] = None) -> dict[str, jax.Array]:
+    """render_rays_split with samples on the LANE axis end to end.
+
+    The warp kernel emits (B, 8, N) rows [x'|y'|z'|bd|..]; those rows ARE
+    the fine pass's sort payload (plus the depth, stashed in spare row 4),
+    so the merge sort becomes a native per-ray lane shuffle
+    (ops/sort_lanes.py) instead of two latency-bound (1.5M, 8) permutation
+    gathers, and the sorted canonical points flow straight into the fused
+    MLP with no point-major era anywhere. Per-step RNG draws are issued in
+    the same order/shapes as render_rays_split, so both paths sample
+    identical randomness."""
+    from animnerf_tpu.ops.sort_lanes import permute_lanes
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_coarse, k_fine, k_noise_c, k_noise_f, k_depth = jax.random.split(key, 5)
+
+    B, R = rays.shape[:2]
+    z_coarse = sample_coarse(cfg, rays, perturb, k_coarse)
+    Kc = z_coarse.shape[-1]
+    wout_c = warp_rows_fn(_rows_from_z(rays, z_coarse))        # (B,8,R*Kc)
+
+    def run_coarse():
+        f = field_rows_fn(wout_c, False).reshape(B, 8, R, Kc)
+        return composite_rows(cfg, f, rays, z_coarse, perturb, k_noise_c)
+
+    if cfg.n_fine > 0 and cfg.share_fine:
+        weights, rgb_c, depth_c, alpha_c = jax.tree.map(
+            jax.lax.stop_gradient, run_coarse())
+    else:
+        weights, rgb_c, depth_c, alpha_c = run_coarse()
+
+    out = {"rgbs": rgb_c, "alphas": alpha_c, "depths": depth_c}
+
+    if cfg.n_fine > 0 or cfg.n_fine_depth > 0:
+        z_parts = [z_coarse]
+        pay_parts = [wout_c.reshape(B, 8, R, Kc)]
+        if cfg.n_fine > 0:
+            mids = 0.5 * (z_coarse[..., :-1] + z_coarse[..., 1:])
+            z_fine = jax.lax.stop_gradient(
+                sample_fine(cfg, mids, weights[..., 1:-1],
+                            det=(perturb == 0), key=k_fine))
+            z_parts.append(z_fine)
+            pay_parts.append(
+                warp_rows_fn(_rows_from_z(rays, z_fine))
+                .reshape(B, 8, R, z_fine.shape[-1]))
+        if cfg.n_fine_depth > 0:
+            z_fd = jax.lax.stop_gradient(
+                sample_fine_depth(cfg, rays, depth_c, k_depth))
+            z_parts.append(z_fd)
+            pay_parts.append(
+                warp_rows_fn(_rows_from_z(rays, z_fd))
+                .reshape(B, 8, R, z_fd.shape[-1]))
+
+        z_all = jnp.concatenate(z_parts, axis=-1)              # (B, R, K)
+        K = z_all.shape[-1]
+        pay = jnp.concatenate(pay_parts, axis=3)               # (B,8,R,K)
+        # depth rides spare payload row 4 so it sorts with everything else
+        pay = jnp.concatenate(
+            [pay[:, 0:4], z_all[:, None], pay[:, 5:]], axis=1)
+
+        # pad K to the shuffle's 128 lanes; +inf pad depths sort LAST, so
+        # positions [:K] of the shuffled payload are exactly the real
+        # samples in depth order and the pads never reach the MLP
+        padK = 128 - K
+        assert padK >= 0, "rows path supports K <= 128 samples/ray"
+        z_pad = jnp.pad(z_all, ((0, 0), (0, 0), (0, padK)),
+                        constant_values=jnp.inf)
+        pay = jnp.pad(pay, ((0, 0), (0, 0), (0, 0), (0, padK)))
+        order = jnp.argsort(z_pad, axis=-1).astype(jnp.int32)
+        inv = jnp.argsort(order, axis=-1).astype(jnp.int32)
+        sorted_pay = permute_lanes(pay, order, inv)[:, :, :, :K]
+
+        z_sorted = sorted_pay[:, 4]                            # (B, R, K)
+        f = field_rows_fn(sorted_pay.reshape(B, 8, R * K), True)
+        _, rgb_f, depth_f, alpha_f = composite_rows(
+            cfg, f.reshape(B, 8, R, K), rays, z_sorted, perturb, k_noise_f)
+
+        if cfg.share_fine:
+            out = {"rgbs": rgb_f, "alphas": alpha_f, "depths": depth_f}
+        else:
+            out.update({"rgbs_fine": rgb_f, "alphas_fine": alpha_f,
+                        "depths_fine": depth_f})
+    return out

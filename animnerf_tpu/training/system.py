@@ -198,6 +198,19 @@ class AnimNeRFSystem:
         rays_root = rays_to_root_frame(ctx, rays)
         d_code, a_code = self._codes(params, frame_idx)
 
+        if d_code is None and a_code is None and self.scene.rows_path_ok:
+            # transposed pipeline: samples on lanes from warp kernel to
+            # fused MLP, fine merge-sort as a native lane shuffle
+            from animnerf_tpu.render.volume_renderer import render_rays_rows
+
+            out = render_rays_rows(
+                self.renderer_cfg,
+                lambda xyz_t: self.scene.warp_rows(ctx, xyz_t),
+                lambda rows, fine: self.scene.field_rows(
+                    params["anim_nerf"], rows, fine),
+                rays_root, perturb=perturb, key=key)
+            return out, ctx
+
         def warp_fn(xyz, viewdir):
             return self.scene.warp_points(ctx, xyz, viewdir)
 

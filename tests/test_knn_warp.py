@@ -421,3 +421,20 @@ def test_knn_pallas_transposed_out():
                                   np.asarray(i))
     np.testing.assert_allclose(np.asarray(d_t.transpose(0, 2, 1)),
                                np.asarray(d), atol=0)
+
+
+def test_knn_pallas_points_t_in():
+    import numpy as np
+
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32))
+    verts = jnp.asarray(rng.normal(size=(2, 150, 3)).astype(np.float32))
+    d, i = knn_pallas(pts, verts, k=4, tile_n=256, tile_v=128,
+                      interpret=True, transposed_out=True)
+    d2, i2 = knn_pallas(pts.transpose(0, 2, 1), verts, k=4, tile_n=256,
+                        tile_v=128, interpret=True, transposed_out=True,
+                        points_t_in=True)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d), atol=0)

@@ -1,0 +1,125 @@
+"""Transposed (rows-native) render pipeline vs the standard path.
+
+render_rays_rows keeps samples on the lane axis from the warp kernel
+through the lane-shuffle merge sort into the fused MLP. On identical
+inputs (same PRNG draw order by construction) it must reproduce
+render_rays_split's images and gradients. The TPU-only kernels run in
+interpret mode here via monkeypatching."""
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import animnerf_tpu.models.warp as MW
+import animnerf_tpu.ops.fused_mlp as FM
+import animnerf_tpu.ops.knn_pallas as KP
+import animnerf_tpu.ops.sort_lanes as SL
+import animnerf_tpu.ops.warp_blend as WB
+
+
+@contextlib.contextmanager
+def rows_path_forced():
+    """Force the TPU-gated rows path on CPU, all kernels in interpret."""
+    saved = (KP.knn_pallas, WB.warp_blend_fwd_pallas, FM.fused_nerf_fwd,
+             FM.fused_nerf_bwd, SL._permute_impl, MW._fused_warp_enabled)
+
+    knn0, wb0, ff0, fb0, pl0 = saved[:5]
+    KP.knn_pallas = lambda *a, **k: knn0(*a, **{**k, "interpret": True})
+    WB.warp_blend_fwd_pallas = lambda *a, **k: wb0(
+        *a, **{**k, "interpret": True})
+    FM.fused_nerf_fwd = lambda *a, **k: ff0(*a, **{**k, "interpret": True})
+    FM.fused_nerf_bwd = lambda *a, **k: fb0(*a, **{**k, "interpret": True})
+    SL._permute_impl = lambda p, o, interpret=False: SL._permute_lanes_pallas(
+        p, o, interpret=True)
+    MW._fused_warp_enabled = lambda: True
+    try:
+        yield
+    finally:
+        (KP.knn_pallas, WB.warp_blend_fwd_pallas, FM.fused_nerf_fwd,
+         FM.fused_nerf_bwd, SL._permute_impl, MW._fused_warp_enabled) = saved
+
+
+def _setup():
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_parallel import _tiny_setup
+
+    from animnerf_tpu.models.body_params import (
+        batch_params_from_data,
+        init_body_params,
+        lookup_body_params,
+    )
+
+    cfg, system, num_joints, batch = _tiny_setup(B=2, n_rays=16)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+    body_params = init_body_params(cfg.num_frames,
+                                   pose_dim=3 * (num_joints - 1))
+    params = system.init_params(rng, body_params)
+    bp = lookup_body_params(params["body_params"], batch["frame_idx"])
+    btm = batch_params_from_data(batch, cfg.model_type, template=True)
+    return cfg, system, params, bp, btm, batch
+
+
+@pytest.mark.parametrize("perturb", [0.0, 1.0])
+def test_rows_render_matches_standard(perturb):
+    cfg, system, params, bp, btm, batch = _setup()
+    key = jax.random.PRNGKey(3)
+
+    system.scene.__dict__["use_fused_mlp"] = False
+    out_std, _ = system.render(params, bp, btm, batch["rays"],
+                               perturb=perturb, key=key)
+
+    with rows_path_forced():
+        system.scene.__dict__["use_fused_mlp"] = True
+        assert system.scene.rows_path_ok
+        out_rows, _ = system.render(params, bp, btm, batch["rays"],
+                                    perturb=perturb, key=key)
+    system.scene.__dict__.pop("use_fused_mlp", None)
+
+    assert set(out_std) == set(out_rows)
+    for k in out_std:
+        np.testing.assert_allclose(
+            np.asarray(out_rows[k]), np.asarray(out_std[k]),
+            atol=2e-4, rtol=2e-4, err_msg=k)
+
+
+def test_rows_render_gradients_match():
+    cfg, system, params, bp, btm, batch = _setup()
+    key = jax.random.PRNGKey(5)
+    tgt = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 16, 3)).astype(np.float32))
+
+    def loss_of(render_out):
+        out, _ = render_out
+        l = jnp.mean((out["rgbs"] - tgt) ** 2)
+        if "rgbs_fine" in out:
+            l = l + jnp.mean((out["rgbs_fine"] - tgt) ** 2)
+        return l
+
+    def loss_std(params):
+        return loss_of(system.render(params, bp, btm, batch["rays"],
+                                     perturb=0.0, key=key))
+
+    system.scene.__dict__["use_fused_mlp"] = False
+    l1, g1 = jax.value_and_grad(loss_std)(params)
+
+    with rows_path_forced():
+        system.scene.__dict__["use_fused_mlp"] = True
+        l2, g2 = jax.value_and_grad(loss_std)(params)
+    system.scene.__dict__.pop("use_fused_mlp", None)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    # body_params gradient flows through the warp kernel chain; nerf
+    # grads through the fused MLP VJP
+    for path, v1 in flat1:
+        v2 = flat2[path]
+        denom = max(float(jnp.max(jnp.abs(v1))), 1e-6)
+        err = float(jnp.max(jnp.abs(v1 - v2))) / denom
+        assert err < 5e-3, (jax.tree_util.keystr(path), err)

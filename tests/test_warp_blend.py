@@ -281,3 +281,51 @@ def test_generic_k_and_lbs_dims(k, J_):
                 + Tm[..., :3, 3])
     np.testing.assert_allclose(np.asarray(cano), np.asarray(cano_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_rows_entry_matches_point_major():
+    """warp_blend_rows (the transposed pipeline's entry) must equal the
+    point-major op in values and gradients."""
+    from animnerf_tpu.ops.warp_blend import warp_blend_rows
+
+    xyz, dists, idx, table = _rig(B=1, N=256, V=200, seed=17)
+    B, N = 1, 256
+    xyz_t = jnp.pad(xyz.transpose(0, 2, 1), ((0, 0), (0, 5), (0, 0)))
+    d_t, i_t = dists.transpose(0, 2, 1), idx.transpose(0, 2, 1)
+    tgt = jnp.asarray(np.random.default_rng(3).normal(
+        size=(1, 3, N)).astype(np.float32))
+
+    import animnerf_tpu.ops.warp_blend as WB
+    orig = WB.warp_blend_fwd_pallas
+
+    def patched(*a, **kw):
+        kw.update(tile_n=256, interpret=True)
+        return orig(*a, **kw)
+
+    WB.warp_blend_fwd_pallas = patched
+    try:
+        def loss_rows(xyz_t, table):
+            out = warp_blend_rows(xyz_t, d_t, i_t, table, J, 0.1, 0.9)
+            return jnp.sum((out[:, 0:3] - tgt) ** 2), out
+
+        def loss_pm(xyz, table):
+            cano, _, bd = warp_blend(xyz, None, dists, idx, table,
+                                     J, 0.1, 0.9, False, False)
+            return (jnp.sum((cano.transpose(0, 2, 1) - tgt) ** 2),
+                    (cano, bd))
+
+        (l1, out_r), (gx1, gt1) = jax.value_and_grad(
+            loss_rows, argnums=(0, 1), has_aux=True)(xyz_t, table)
+        (l2, (cano, bd)), (gx2, gt2) = jax.value_and_grad(
+            loss_pm, argnums=(0, 1), has_aux=True)(xyz, table)
+    finally:
+        WB.warp_blend_fwd_pallas = orig
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_r[:, 0:3]),
+                               np.asarray(cano.transpose(0, 2, 1)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_r[:, 3:4]),
+                               np.asarray(bd.transpose(0, 2, 1)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx1[:, 0:3]),
+                               np.asarray(gx2.transpose(0, 2, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2), atol=1e-5)
