@@ -123,3 +123,48 @@ def test_rows_render_gradients_match():
         denom = max(float(jnp.max(jnp.abs(v1))), 1e-6)
         err = float(jnp.max(jnp.abs(v1 - v2))) / denom
         assert err < 5e-3, (jax.tree_util.keystr(path), err)
+
+
+@pytest.mark.parametrize("over", [dict(share_fine=True),
+                                  dict(n_depth=2)])
+def test_rows_render_matches_standard_variants(over):
+    """share_fine (coarse under stop_gradient, fine replaces outputs) and
+    depth-guided fine samples must also agree between the paths."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_parallel import _tiny_setup
+
+    from animnerf_tpu.models.body_params import (
+        batch_params_from_data,
+        init_body_params,
+        lookup_body_params,
+    )
+    from animnerf_tpu.training.system import AnimNeRFSystem
+
+    cfg, system, num_joints, batch = _tiny_setup(B=2, n_rays=16)
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    system = AnimNeRFSystem(cfg, system.body_model)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+    params = system.init_params(
+        rng, init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1)))
+    bp = lookup_body_params(params["body_params"], batch["frame_idx"])
+    btm = batch_params_from_data(batch, cfg.model_type, template=True)
+    key = jax.random.PRNGKey(9)
+
+    system.scene.__dict__["use_fused_mlp"] = False
+    out_std, _ = system.render(params, bp, btm, batch["rays"],
+                               perturb=0.0, key=key)
+    with rows_path_forced():
+        system.scene.__dict__["use_fused_mlp"] = True
+        out_rows, _ = system.render(params, bp, btm, batch["rays"],
+                                    perturb=0.0, key=key)
+    system.scene.__dict__.pop("use_fused_mlp", None)
+
+    assert set(out_std) == set(out_rows)
+    for k in out_std:
+        np.testing.assert_allclose(
+            np.asarray(out_rows[k]), np.asarray(out_std[k]),
+            atol=2e-4, rtol=2e-4, err_msg=k)
