@@ -21,23 +21,60 @@ from animnerf_tpu.training.system import AnimNeRFSystem, TrainState
 
 
 def make_sharded_train_step(system: AnimNeRFSystem, tx, mesh: Mesh):
-    """jit the train step with explicit shardings over `mesh`.
+    """Shard the train step over `mesh`'s 'data' axis.
+
+    Multi-device meshes use jax.shard_map with an EXPLICIT gradient pmean
+    over ICI — the scaling-book data-parallel recipe — rather than
+    GSPMD-propagated shardings: every chip runs the full step (including
+    the Pallas kernels, which a GSPMD partitioner would have to
+    re-derive sharding rules for or replicate with all-gathers) on its
+    local batch shard, and only the gradients/metrics cross the
+    interconnect. Single-device meshes keep the plain jit.
 
     Returns (train_step, place_state, place_batch):
       train_step(state, batch, key) -> (state, metrics)
       place_state(state) -> state replicated on the mesh
       place_batch(host_batch) -> batch sharded on the 'data' axis
     """
-    step = system.make_train_step(tx)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
 
-    jitted = jax.jit(
-        step,
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
-        donate_argnums=(0,),
-    )
+    if mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        def local_step(state: TrainState, batch: dict, key: jax.Array):
+            key = jax.random.fold_in(key, state.step)
+            # per-element noise keyed by GLOBAL index: identical draws on
+            # any mesh size (see utils/rng.py)
+            offset = jax.lax.axis_index("data") * batch["rays"].shape[0]
+            grad_fn = jax.value_and_grad(system.loss_fn, has_aux=True)
+            (loss, details), grads = grad_fn(state.params, batch, key,
+                                             offset)
+            # equal shard sizes: the global batch-mean gradient is the
+            # mean of per-shard means
+            grads = jax.lax.pmean(grads, "data")
+            details = jax.lax.pmean(details, "data")
+            import optax as _optax
+
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = _optax.apply_updates(state.params, updates)
+            return (TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state), details)
+
+        sm = jax.shard_map(local_step, mesh=mesh,
+                           in_specs=(P(), P("data"), P()),
+                           out_specs=(P(), P()),
+                           check_vma=False)
+        jitted = jax.jit(sm, donate_argnums=(0,))
+    else:
+        step = system.make_train_step(tx)
+        jitted = jax.jit(
+            step,
+            in_shardings=(rep, bsh, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
 
     def place_state(state: TrainState) -> TrainState:
         return jax.device_put(state, rep)

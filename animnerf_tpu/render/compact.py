@@ -217,7 +217,9 @@ def render_rays_compact(cfg: RendererConfig, warp_fn, field_fn,
 
     if key is None:
         key = jax.random.PRNGKey(0)
-    k_coarse, k_fine, k_noise_c, k_noise_f, k_depth = jax.random.split(key, 5)
+    from animnerf_tpu.utils import rng as prng
+
+    k_coarse, k_fine, k_noise_c, k_noise_f, k_depth = prng.split_keys(key, 5)
     del k_depth  # n_fine_depth unsupported under compaction
 
     z_coarse = sample_coarse(cfg, rays, perturb, k_coarse)

@@ -31,6 +31,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from animnerf_tpu.utils import rng as prng
+
 
 @dataclasses.dataclass(frozen=True)
 class RendererConfig:
@@ -61,7 +63,7 @@ def sample_coarse(cfg: RendererConfig, rays: jax.Array, perturb: float,
         mids = 0.5 * (z[..., 1:] + z[..., :-1])
         upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
         lower = jnp.concatenate([z[..., :1], mids], axis=-1)
-        u = perturb * jax.random.uniform(key, z.shape, dtype=z.dtype)
+        u = perturb * prng.uniform(key, z.shape, dtype=z.dtype)
         z = lower + (upper - lower) * u
     return z
 
@@ -84,7 +86,7 @@ def sample_fine(cfg: RendererConfig, bins: jax.Array, weights: jax.Array,
         u = jnp.linspace(0.0, 1.0, Kf, dtype=bins.dtype)
         u = jnp.broadcast_to(u, bins.shape[:-1] + (Kf,))
     else:
-        u = jax.random.uniform(key, bins.shape[:-1] + (Kf,), dtype=bins.dtype)
+        u = prng.uniform(key, bins.shape[:-1] + (Kf,), dtype=bins.dtype)
 
     # batched "searchsorted right": count cdf entries <= u. The cdf is only
     # Kc-1 wide, so the dense (..., Kf, Kc-1) comparison is a trivial VPU op
@@ -113,7 +115,7 @@ def sample_fine_depth(cfg: RendererConfig, rays: jax.Array, depth: jax.Array,
     """Gaussian samples around a given depth, clamped to [near, far]
     (reference :99-111)."""
     z = jnp.repeat(depth, cfg.n_fine_depth, axis=-1)
-    z = z + jax.random.normal(key, z.shape, dtype=z.dtype) * cfg.depth_std
+    z = z + prng.normal(key, z.shape, dtype=z.dtype) * cfg.depth_std
     near, far = rays[..., 6:7], rays[..., 7:8]
     return jnp.clip(z, near, far)
 
@@ -124,8 +126,8 @@ def composite_weights(cfg: RendererConfig, sigmas: jax.Array,
     """Transmittance weights of DEPTH-SORTED samples. sigmas/z (B,R,K) ->
     (weights (B,R,K), weights_sum (B,R,1))."""
     if cfg.noise_std > 0 and perturb > 0 and key is not None:
-        sigmas = sigmas + jax.random.normal(key, sigmas.shape,
-                                            dtype=sigmas.dtype) * cfg.noise_std
+        sigmas = sigmas + prng.normal(key, sigmas.shape,
+                                      dtype=sigmas.dtype) * cfg.noise_std
 
     deltas = z_samp[..., 1:] - z_samp[..., :-1]
     if far_inf:
@@ -277,7 +279,7 @@ def render_rays_split(cfg: RendererConfig, warp_fn: WarpFn, field_fn: FieldFn,
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    k_coarse, k_fine, k_noise_c, k_noise_f, k_depth = jax.random.split(key, 5)
+    k_coarse, k_fine, k_noise_c, k_noise_f, k_depth = prng.split_keys(key, 5)
 
     z_coarse = sample_coarse(cfg, rays, perturb, k_coarse)
     cano_c, vd_c, valid_c = _warp(warp_fn, rays, z_coarse)
@@ -406,7 +408,7 @@ def render_rays_rows(cfg: RendererConfig, warp_rows_fn, field_rows_fn,
 
     if key is None:
         key = jax.random.PRNGKey(0)
-    k_coarse, k_fine, k_noise_c, k_noise_f, k_depth = jax.random.split(key, 5)
+    k_coarse, k_fine, k_noise_c, k_noise_f, k_depth = prng.split_keys(key, 5)
 
     B, R = rays.shape[:2]
     z_coarse = sample_coarse(cfg, rays, perturb, k_coarse)

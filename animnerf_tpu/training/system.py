@@ -31,6 +31,7 @@ from flax import struct
 
 from animnerf_tpu.config import CfgNode
 from animnerf_tpu.models.anim_nerf import AnimNeRFConfig, AnimNeRFModel
+from animnerf_tpu.utils import rng as prng
 from animnerf_tpu.models.body_params import (
     batch_params_from_data,
     lookup_body_params,
@@ -279,10 +280,10 @@ class AnimNeRFSystem:
         # normal smoothness on jittered template verts (train.py:288-309);
         # pts and their jittered neighbours ride ONE grad-of-MLP pass per
         # field (per-point gradients are independent, so batching is exact)
-        k1, k2 = jax.random.split(key)
+        k1, k2 = prng.split_keys(key, 2)
         pts = jax.lax.stop_gradient(ctx.verts_template)
-        pts = pts + jax.random.normal(k1, pts.shape) * (c.dis_threshold * 0.5)
-        neighbs = pts + jax.random.normal(k2, pts.shape) * t.epsilon
+        pts = pts + prng.normal(k1, pts.shape) * (c.dis_threshold * 0.5)
+        neighbs = pts + prng.normal(k2, pts.shape) * t.epsilon
         n_pts = pts.shape[1]
         pts_nrm = jnp.concatenate([pts, neighbs], axis=1)
         for fine in ([False, True] if has_fine else [False]):
@@ -299,7 +300,13 @@ class AnimNeRFSystem:
 
     # ------------------------------------------------------------ steps
 
-    def loss_fn(self, params: dict, batch: dict, key: jax.Array):
+    def loss_fn(self, params: dict, batch: dict, key: jax.Array,
+                global_offset=0):
+        """global_offset: this shard's first element's GLOBAL batch index
+        (0 single-device; axis_index * local_B under shard_map). Noise is
+        drawn per element keyed by global index, so training randomness is
+        invariant to the data-parallel topology (tests/test_parallel.py
+        asserts trajectory equality across mesh sizes)."""
         c = self.cfg
         frame_idx = batch["frame_idx"]
         if c.optim_body_params:
@@ -308,7 +315,8 @@ class AnimNeRFSystem:
             body_params = batch_params_from_data(batch, c.model_type)
         body_tmpl = batch_params_from_data(batch, c.model_type, template=True)
 
-        k_render, k_loss = jax.random.split(key)
+        keys = prng.elem_keys(key, batch["rays"].shape[0], global_offset)
+        k_render, k_loss = prng.split_keys(keys, 2)
         results, ctx = self.render(params, body_params, body_tmpl,
                                    batch["rays"], frame_idx, perturb=1.0,
                                    key=k_render)
@@ -365,7 +373,8 @@ class AnimNeRFSystem:
 
         c = self.cfg
         folded = jax.random.fold_in(key, step)
-        k_render, k_loss = jax.random.split(folded)
+        keys = prng.elem_keys(folded, batch["rays"].shape[0])
+        k_render, k_loss = prng.split_keys(keys, 2)
         frame_idx = batch["frame_idx"]
         if c.optim_body_params:
             body_params = lookup_body_params(params["body_params"], frame_idx)

@@ -96,14 +96,16 @@ def test_grads_mesh_size_equivalence():
     """Gradients must be invariant to the mesh size: the psum over 8 shards
     must reproduce the 2-shard (and, coarsely, 1-device) gradients.
 
-    Two tolerances: 2-dev vs 8-dev are both GSPMD-partitioned programs and
-    agree to float reduction order (measured 5e-6 rel-L2) — tested tight at
-    1e-4. The UNsharded 1-device program compiles to different fp
-    contraction/fusion choices, so 1-dev vs sharded carries compilation-
-    level noise (measured ~4e-3 rel-L2 on the rodrigues/FK-heavy body_pose
-    grads) — tested coarse at 2e-2, which still catches any real
-    psum/sharding bug (missing/duplicated all-reduce is O(1) relative:
-    grads scaled by 1/n_devices)."""
+    Multi-device meshes run shard_map with per-shard local means + an
+    explicit pmean, so the gradient reduction TREE differs with the shard
+    count: 2-dev vs 8-dev agree to reduction-order noise (measured
+    ~2e-4 rel-L2; tested at 1e-3). The UNsharded 1-device program
+    additionally compiles to different fp contraction/fusion choices
+    (measured ~4e-3 rel-L2 on the rodrigues/FK-heavy body_pose grads) —
+    tested coarse at 2e-2. Both bounds still catch any real psum/sharding
+    bug, which is O(1) relative (grads scaled by 1/n_devices). Training
+    NOISE, by contrast, is exactly mesh-invariant (per-element keys,
+    utils/rng.py) — asserted bit-tight by the SGD trajectory test."""
     cfg, system, num_joints, batch = _tiny_setup()
     rng = jax.random.PRNGKey(0)
     params = system.init_params(
@@ -115,7 +117,7 @@ def test_grads_mesh_size_equivalence():
 
     assert abs(l2 - l8) < 1e-5 * (1 + abs(l2))
     assert abs(l1 - l8) < 1e-4 * (1 + abs(l1))
-    _assert_grads_close(g2, g8, 1e-4, "2dev-vs-8dev")
+    _assert_grads_close(g2, g8, 1e-3, "2dev-vs-8dev")
     _assert_grads_close(g1, g8, 2e-2, "1dev-vs-8dev")
 
 
