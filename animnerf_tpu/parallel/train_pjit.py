@@ -112,11 +112,22 @@ def make_sharded_eval_step(system: AnimNeRFSystem, mesh: Mesh):
                            for k, v in batch.items()))
         if key not in cache:
             shardings = batch_shardings(batch)
-            cache[key] = (
-                jax.jit(step, in_shardings=(rep, shardings),
-                        out_shardings=rsh),
-                shardings,
-            )
+            if mesh.size > 1:
+                # shard_map: each chip renders its ray shard through the
+                # full pipeline (incl. Pallas kernels) — see
+                # make_sharded_train_step for why this beats GSPMD here
+                from jax.sharding import PartitionSpec as P
+
+                specs = {k: (P(None, "data") if s is rsh else P())
+                         for k, s in shardings.items()}
+                sm = jax.shard_map(step, mesh=mesh, in_specs=(P(), specs),
+                                   out_specs=P(None, "data"),
+                                   check_vma=False)
+                jitted = jax.jit(sm)
+            else:
+                jitted = jax.jit(step, in_shardings=(rep, shardings),
+                                 out_shardings=rsh)
+            cache[key] = (jitted, shardings)
         jitted, shardings = cache[key]
         batch = jax.device_put(batch, shardings)
         return jitted(params, batch)
