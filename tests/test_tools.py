@@ -189,3 +189,54 @@ def test_video_grid_and_crop():
     assert c.shape == (2, 4, 3)
     grid = fuse_grid([img, img, img], ncols=2)
     assert grid.shape == (12, 16, 3)
+
+
+def test_rvm_driver_end_to_end(tmp_path):
+    """RVM matting driver with an injected recurrent model: warm-up frames
+    are re-fed in reverse and discarded, recurrent state threads through
+    every call, BGR pixels are preserved and the matte lands in the png
+    alpha channel (reference tools/rvm.py:19-63)."""
+    torch = pytest.importorskip("torch")
+    import cv2
+
+    from animnerf_tpu.tools.rvm import run_rvm
+
+    imgs_dir, out_dir = tmp_path / "imgs", tmp_path / "out"
+    imgs_dir.mkdir()
+    vals = [10, 60, 110, 160, 210, 250]
+    for i, v in enumerate(vals):
+        img = np.full((8, 6, 3), v, np.uint8)
+        img[..., 0] = v // 2  # distinct B channel: checks BGR preservation
+        cv2.imwrite(str(imgs_dir / f"{i:06d}.png"), img)
+
+    seen_means = []  # order in which the model saw frames (by brightness)
+    warmup = 4
+
+    def fake_model(src, r1, r2, r3, r4, ratio):
+        assert ratio == 0.25
+        assert src.shape == (1, 3, 8, 6)
+        c = (torch.zeros(()) if r1 is None else r1) + 1.0
+        m = src.mean()
+        seen_means.append(float(m))
+        # matte depends on the frame AND the frames-seen count, so a wrong
+        # warm-up order or dropped recurrent state changes the output
+        pha = torch.full((1, 1, 8, 6), float(torch.clamp(m + 0.001 * c, 0, 1)))
+        return src, pha, c, r2, r3, r4
+
+    n = run_rvm(str(imgs_dir), str(out_dir), model=fake_model, warmup=warmup)
+    assert n == len(vals)
+
+    def mean01(v):
+        return (v // 2 + v + v) / (3.0 * 255.0)
+
+    # fed order: first `warmup` frames reversed, then all frames
+    expected_order = [mean01(v) for v in vals[:warmup][::-1] + vals]
+    assert np.allclose(seen_means, expected_order, atol=1e-6)
+
+    for i, v in enumerate(vals):
+        out = cv2.imread(str(out_dir / f"{i:06d}.png"), cv2.IMREAD_UNCHANGED)
+        assert out.shape == (8, 6, 4)
+        assert np.all(out[..., 0] == v // 2) and np.all(out[..., 1] == v)
+        count = warmup + 1 + i  # warm-up calls advanced the state first
+        expect_a = np.uint8(min(mean01(v) + 0.001 * count, 1.0) * 255)
+        assert np.all(out[..., 3] == expect_a)
