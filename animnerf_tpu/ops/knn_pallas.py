@@ -173,19 +173,30 @@ def _packed_knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref, out_i_ref,
     sort network. Measured 80.5 -> 67.1 ms on the flagship training shapes
     (tools/bench_knn.py).
 
-    Cost: distances are quantized — 13 low mantissa bits dropped,
-    <= 2^-10 relative on d2 (<= ~5e-4 relative on d) — and winners are exact
-    under that QUANTIZED ordering: a pair of vertices whose d2 differ by
-    less than one quantum can swap ranks vs the exact kernel (ties break
-    toward the smaller vertex index). Downstream the distances only feed
-    exp(-d) blend weights and the dis_threshold validity test
-    (models/warp.py), where a 6e-4 relative perturbation is far below the
-    training signal; the exact kernel (_knn_kernel) remains available via
-    packed=False for bit-parity work. far2 as in _knn_kernel."""
+    d2 itself uses the 4-op dot form |v|^2 - 2 p.v + |p|^2 (three FMAs with
+    the per-vertex [-2v | |v|^2] rows precomputed per tile, one broadcast
+    add of the per-point |p|^2 row) instead of the 9-op (v-p)^2 form — the
+    d2 sweep is the kernel's dominant cost at V=6890, and this is the
+    classic way to buy it back with FMA throughput.
+
+    Cost (both deliberate, both bounded): distances are quantized — 13 low
+    mantissa bits dropped, <= 2^-10 relative on d2 (<= ~5e-4 relative on d)
+    — and the dot form adds a cancellation term of a few ulps of
+    (|p| + |v|)^2 (absolute ~1e-6 on d2 for the unit-scale bodies this
+    serves, i.e. below the quantization except for near-coincident points).
+    Winners are exact under that perturbed-then-quantized ordering: a pair
+    of vertices whose d2 differ by less than one quantum can swap ranks vs
+    the exact kernel (ties break toward the smaller vertex index).
+    Downstream the distances only feed exp(-d) blend weights and the
+    dis_threshold validity test (models/warp.py), where a ~6e-4 relative
+    perturbation is far below the training signal; the exact kernel
+    (_knn_kernel) remains available via packed=False for bit-parity work.
+    far2 as in _knn_kernel."""
     tile_n = points_ref.shape[-1]
     px = points_ref[0, 0, :].reshape(1, tile_n)
     py = points_ref[0, 1, :].reshape(1, tile_n)
     pz = points_ref[0, 2, :].reshape(1, tile_n)
+    pp = px * px + py * py + pz * pz  # (1, TN) per-point |p|^2
 
     BIGKEY = jnp.int32(0x7FFFFFFF)
     MASK = jnp.int32(~0x1FFF)
@@ -209,7 +220,15 @@ def _packed_knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref, out_i_ref,
         vx = verts_ref[0, 0, pl.ds(off, tile_v)].reshape(tile_v, 1)
         vy = verts_ref[0, 1, pl.ds(off, tile_v)].reshape(tile_v, 1)
         vz = verts_ref[0, 2, pl.ds(off, tile_v)].reshape(tile_v, 1)
-        d2 = (vx - px) ** 2 + (vy - py) ** 2 + (vz - pz) ** 2
+        # dot form: per-vertex rows cost O(TV); the (TV, TN) sweep is a
+        # 3-FMA chain + max per pair (vs sub/mul/add x3 for (v-p)^2).
+        # Clamp at 0: cancellation can go epsilon-negative for
+        # near-coincident points, and a negative f32's bit pattern would
+        # order WRONG (reversed) as a signed-int key.
+        m2x, m2y, m2z = -(vx + vx), -(vy + vy), -(vz + vz)
+        vq = vx * vx + vy * vy + vz * vz  # (TV, 1): |v|^2
+        d2 = jnp.maximum(
+            pp + (m2z * pz + (m2y * py + (m2x * px + vq))), 0.0)
         key = (jax.lax.bitcast_convert_type(d2, jnp.int32) & MASK) | (col + off)
         for _s in range(k):
             m = jnp.min(key, axis=0, keepdims=True)            # (1, TN)
