@@ -94,6 +94,37 @@ class FrameContext:
     lbs_weights: jax.Array      # (V, J)
 
 
+def _forward_obs_template(model: BodyModel, params: dict,
+                          params_template: dict):
+    """Run the body model for observed AND template params in ONE batched
+    forward (2B) instead of two B-sized calls.
+
+    The FK/LBS chain is per-batch-element independent (no batch
+    reductions), so slicing the 2B outputs is bit-identical to two separate
+    calls — but one call halves the kernel launches of the step's
+    latency-bound small-op stretch (rodrigues, pointer-doubling FK,
+    blendshape matmuls run once at 2B instead of twice at B). Falls back to
+    two calls when the dicts aren't shape-compatible (e.g. Layer-variant
+    rotation-matrix poses on one side only)."""
+    keys = set(params)
+    batchable = keys == set(params_template) and all(
+        hasattr(params[k], "shape") and hasattr(params_template[k], "shape")
+        and params[k].shape == params_template[k].shape
+        and params[k].ndim >= 1
+        for k in keys
+    )
+    if not batchable:
+        return body_forward(model, **params), body_forward(
+            model, **params_template)
+    B = next(iter(params.values())).shape[0]
+    stacked = {k: jnp.concatenate([params[k], params_template[k]], axis=0)
+               for k in keys}
+    both: BodyModelOutput = body_forward(model, **stacked)
+    obs = jax.tree.map(lambda a: a[:B], both)
+    tmpl = jax.tree.map(lambda a: a[B:], both)
+    return obs, tmpl
+
+
 def prepare_frame(
     model: BodyModel,
     params: dict,
@@ -107,8 +138,7 @@ def prepare_frame(
     """
     J = num_lbs_joints or model.num_joints
 
-    obs: BodyModelOutput = body_forward(model, **params)
-    tmpl: BodyModelOutput = body_forward(model, **params_template)
+    obs, tmpl = _forward_obs_template(model, params, params_template)
 
     root = obs.joints_transform[:, 0]          # (B, 4, 4) pelvis transform
     root_inv = affine_inverse(root)

@@ -138,6 +138,31 @@ def test_rays_root_frame_near_far_tightening():
                                atol=1e-3)
 
 
+def test_batched_obs_template_forward_exact():
+    """prepare_frame's single 2B-batched body forward must be bit-identical
+    to two separate B-sized calls (the FK/LBS chain has no batch
+    reductions), including through the mixed-key fallback."""
+    import animnerf_tpu.smpl.body_model as bm
+    from animnerf_tpu.models.warp import _forward_obs_template
+
+    model, params, template = _frame_setup(seed=7)
+    obs_b, tmpl_b = _forward_obs_template(model, params, template)
+    obs_s = bm.forward(model, **params)
+    tmpl_s = bm.forward(model, **template)
+    for got, want in ((obs_b, obs_s), (tmpl_b, tmpl_s)):
+        for leaf_g, leaf_w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(leaf_g),
+                                          np.asarray(leaf_w))
+
+    # mismatched key sets fall back to two calls (still exact)
+    template2 = {k: v for k, v in template.items() if k != "transl"}
+    obs_f, tmpl_f = _forward_obs_template(model, params, template2)
+    tmpl_f_want = bm.forward(model, **template2)
+    for leaf_g, leaf_w in zip(jax.tree.leaves(tmpl_f),
+                              jax.tree.leaves(tmpl_f_want)):
+        np.testing.assert_array_equal(np.asarray(leaf_g), np.asarray(leaf_w))
+
+
 def _reference_available():
     return os.path.exists("/root/reference/models/anim_nerf.py")
 
