@@ -17,9 +17,30 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/animnerf_tpu/xla")
 
 
+def apply_platform_override() -> str | None:
+    """Honor ANIMNERF_PLATFORM=<cpu|tpu|...> as a hard jax platform pin.
+
+    Some deployments inject a sitecustomize that force-sets
+    jax_platforms after env vars are read, so JAX_PLATFORMS alone can't
+    steer the CLIs off a dead accelerator tunnel. This re-asserts the
+    requested platform via jax.config (must run before first device use).
+    Returns the platform applied, or None when unset."""
+    plat = os.environ.get("ANIMNERF_PLATFORM")
+    if not plat:
+        return None
+    import jax
+
+    jax.config.update("jax_platforms", plat)
+    return plat
+
+
 def enable_compile_cache(cache_dir: "str | None" = None) -> str | None:
     """Point jax at a persistent on-disk compilation cache; returns the
-    directory used (None if disabled via ANIMNERF_NO_COMPILE_CACHE=1)."""
+    directory used (None if disabled via ANIMNERF_NO_COMPILE_CACHE=1).
+
+    Also applies the ANIMNERF_PLATFORM override — this is the first call
+    every CLI/bench entry point makes, before any jax device use."""
+    apply_platform_override()
     if os.environ.get("ANIMNERF_NO_COMPILE_CACHE", "0") == "1":
         return None
     import jax
