@@ -29,6 +29,12 @@ far-skip semantics (reference-pipeline-exact: such points are sigma-filled
 downstream, anim_nerf.py:305): a reported distance that provably exceeds
 `thr`, and index 0. This matches the `far_skip` contract of
 ops/knn_pallas.py, validated by tests/test_knn_warp.py.
+
+Status: tested but NOT wired into the ops/knn.py dispatcher. On the
+volumetric blob rig it loses to the exact kernel (PERF.md: 134 vs 82 ms —
+pruning needs tight 2-D surface clusters and patch-coherent queries);
+tools/bench_surface.py measures it in its intended regime. Opt in
+explicitly by calling knn_two_stage.
 """
 
 from __future__ import annotations
