@@ -214,30 +214,42 @@ class Renderer:
         cap_c, cap_f = self._caps[R]
         args = (params, body_params, body_tmpl,
                 jnp.asarray(rays)[None], jnp.asarray(P))
-        out, n_c, n_f = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
-        # ONE device->host fetch for outputs AND counts (each separate
-        # fetch pays a full host<->device round trip)
-        img, mask, depth, i_c, i_f = jax.device_get(
-            (out["rgbs"][0], out["alphas"][0, :, 0],
-             out["depths"][0, :, 0], n_c, n_f))
-        i_c, i_f = int(i_c), int(i_f)
-        # Exact re-render at the true rung, LOOPED: raising cap_c changes
-        # the coarse composite weights (the first render dropped coarse
-        # survivors), which moves the fine depths, so the retry's fine
-        # survivor count can differ from i_f — re-check until both counts
-        # fit. Deterministic inputs converge in 1-2 extra iterations.
-        # Capacities only ever move ON overflow — ratcheting them on
-        # every observed count would creep across rungs and recompile.
-        while i_c > cap_c or i_f > cap_f:
-            cap_c = max(cap_c, self._quantize(i_c))
-            cap_f = max(cap_f, self._quantize(i_f))
-            self._caps[R] = (cap_c, cap_f)
-            out, n_c, n_f = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
+        first = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
+        img, mask, depth, _, _ = self._fetch_ratchet(
+            first, (cap_c, cap_f), args, R)
+        return np.asarray(img), np.asarray(mask), np.asarray(depth)
+
+    def _fetch_ratchet(self, first, caps_used, args, R):
+        """Fetch outputs AND counts of a dispatched fused render in ONE
+        device->host round trip; if the counts overflow the caps the render
+        was DISPATCHED with, re-render exactly at the ratcheted rung.
+
+        The overflow check must compare against `caps_used` — the caps at
+        dispatch time — not the current self._caps[R]: in the pipelined
+        stream a previous view's ratchet can raise the shared caps between
+        this view's dispatch and its fetch, which would otherwise mask this
+        view's overflow and silently return the truncated render.
+
+        LOOPED because raising cap_c changes the coarse composite weights
+        (the first render dropped coarse survivors), which moves the fine
+        depths, so a retry's fine survivor count can differ; deterministic
+        inputs converge in 1-2 extra iterations. Caps only ever move ON
+        overflow — ratcheting on every observed count would creep across
+        rungs and recompile. Returns (img, mask, depth, i_c, i_f)."""
+        cap_c, cap_f = caps_used
+        out, n_c, n_f = first
+        while True:
             img, mask, depth, i_c, i_f = jax.device_get(
                 (out["rgbs"][0], out["alphas"][0, :, 0],
                  out["depths"][0, :, 0], n_c, n_f))
             i_c, i_f = int(i_c), int(i_f)
-        return np.asarray(img), np.asarray(mask), np.asarray(depth)
+            if i_c <= cap_c and i_f <= cap_f:
+                return img, mask, depth, i_c, i_f
+            # never ratchet BELOW caps another view raised meanwhile
+            cap_c = max(self._caps[R][0], cap_c, self._quantize(i_c))
+            cap_f = max(self._caps[R][1], cap_f, self._quantize(i_f))
+            self._caps[R] = (cap_c, cap_f)
+            out, n_c, n_f = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
 
     def _maybe_hit_fn(self, body_params, body_tmpl, rays, P):
         """(B, R) bool: could any sample of this ray be within
@@ -456,14 +468,13 @@ class Renderer:
                     self._quantize(int(0.18 * R * cfg.n_coarse)),
                     self._quantize(int(0.40 * R * max(cfg.n_fine, 1))))
             cap_c, cap_f = self._caps[R]
-            out, n_c, n_f = self._fused(
-                params, f["body_params"], f["body_tmpl"],
-                jnp.asarray(f["rays"][act])[None], jnp.asarray(P),
-                cap_c=cap_c, cap_f=cap_f)
-            pending.append((i, out, (n_c, n_f), act, active, fars, R))
+            args = (params, f["body_params"], f["body_tmpl"],
+                    jnp.asarray(f["rays"][act])[None], jnp.asarray(P))
+            first = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
+            pending.append((i, first, (cap_c, cap_f), args, active, fars, R))
 
         def finalize(entry):
-            i, out, counts, act, active, fars, R = entry
+            i, first, caps_used, args, active, fars, R = entry
             f = frames[i]
             n_rays = f["rays"].shape[0]
             bg = 1.0 if cfg.white_bkgd else 0.0
@@ -471,28 +482,12 @@ class Renderer:
             mask = np.zeros(n_rays, np.float32)
             depth = fars.astype(np.float32) if cfg.white_bkgd \
                 else np.zeros(n_rays, np.float32)
-            if out is not None:
-                cap_c, cap_f = self._caps[R]
-                ai, am, ad, i_c, i_f = jax.device_get(
-                    (out["rgbs"][0], out["alphas"][0, :, 0],
-                     out["depths"][0, :, 0], counts[0], counts[1]))
-                i_c, i_f = int(i_c), int(i_f)
-                P = f.get("P")
-                P = np.eye(4, dtype=np.float32) if P is None else P
-                # exact overflow re-render (synchronous; rare after the
-                # first view) — same loop as _render_compact
-                while i_c > cap_c or i_f > cap_f:
-                    cap_c = max(cap_c, self._quantize(i_c))
-                    cap_f = max(cap_f, self._quantize(i_f))
-                    self._caps[R] = (cap_c, cap_f)
-                    o2, n_c, n_f = self._fused(
-                        params, f["body_params"], f["body_tmpl"],
-                        jnp.asarray(f["rays"][act])[None], jnp.asarray(P),
-                        cap_c=cap_c, cap_f=cap_f)
-                    ai, am, ad, i_c, i_f = jax.device_get(
-                        (o2["rgbs"][0], o2["alphas"][0, :, 0],
-                         o2["depths"][0, :, 0], n_c, n_f))
-                    i_c, i_f = int(i_c), int(i_f)
+            if first is not None:
+                # fetch + exact overflow re-render against the caps THIS
+                # view was dispatched with (synchronous; rare after the
+                # first view) — shared with render_frame
+                ai, am, ad, i_c, i_f = self._fetch_ratchet(
+                    first, caps_used, args, R)
                 # shrink caps when the last few views all fit a smaller rung
                 h = history.setdefault(R, [])
                 h.append((i_c, i_f))

@@ -271,3 +271,49 @@ def test_maybe_hit_is_conservative(trained):
                     < system.scene_cfg.dis_threshold, axis=-1))
         missed = true_hit & ~maybe
         assert not missed.any(), f"view {vi}: cull missed {missed.sum()} rays"
+
+
+@pytest.mark.slow
+def test_render_stream_overflow_after_shared_cap_raise(trained):
+    """Regression: a view is dispatched BEFORE the previous view's finalize
+    can ratchet the shared per-R caps. When both views overflow the primed
+    caps, the second view's overflow check must compare against the caps it
+    was DISPATCHED with (they ride the pending queue) — checking the
+    current shared caps, already raised by view 1's ratchet, would mask the
+    overflow and silently yield the truncated render."""
+    import numpy as np
+
+    from animnerf_tpu.cli.common import (
+        load_cam_and_rays,
+        load_frame_params,
+        load_system_and_params,
+    )
+    from animnerf_tpu.render.inference import Renderer, turntable_rotation
+
+    cfg, ckpt, tmp = trained
+    system, params = load_system_and_params(cfg, ckpt)
+    _, body_params, template = load_frame_params(cfg, 1)
+    cam, rays = load_cam_and_rays(cfg, 0)
+    W, H = cfg.img_wh
+
+    Ps = [turntable_rotation(i, 5) for i in (0, 1, 2)]
+    frames = [dict(body_params=body_params, body_tmpl=template, rays=rays,
+                   P=P, img_wh=(W, H)) for P in Ps]
+
+    # discover the stream's padded ray count R and true survivor counts
+    r0 = Renderer(system)
+    assert r0._compaction_applicable() and r0.cull_rays
+    ref = list(r0.render_stream(params, frames))
+    assert len(ref) == 3 and len(r0._caps) == 1
+    [(R, _)] = r0._caps.items()
+
+    # fresh renderer primed BELOW the true counts: every view overflows at
+    # dispatch; view 1 is already in flight when view 0's finalize ratchets
+    r1 = Renderer(system)
+    r1._caps[R] = (1, 1)
+    got = list(r1.render_stream(params, frames))
+    assert len(got) == 3
+    for (gi, gm, gd), (ri, rm, rd) in zip(got, ref):
+        np.testing.assert_allclose(gi, ri, atol=1e-5)
+        np.testing.assert_allclose(gm, rm, atol=1e-5)
+        np.testing.assert_allclose(gd, rd, atol=1e-4)
