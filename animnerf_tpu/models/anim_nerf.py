@@ -139,8 +139,11 @@ class AnimNeRFModel:
             return False
         if c.fused_mlp == "on":
             return True
-        # Pallas TPU lowering only; CPU would need interpret mode
-        return jax.default_backend() not in ("cpu",)
+        # Pallas TPU lowering only (pltpu memory spaces): a GPU/CPU backend
+        # must take the XLA MLP, not crash in Mosaic
+        from animnerf_tpu.utils.platform import on_tpu
+
+        return on_tpu()
 
     # ---------------------------------------------------------- queries
 

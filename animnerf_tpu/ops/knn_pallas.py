@@ -355,9 +355,13 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
     else:
         B, N, _ = points.shape
     V = verts.shape[1]
+    if packed and V + ((-V) % tile_v) > 8192:
+        # the packed key's vertex-index field is 13 bits (<= 8192 padded
+        # vertices — covers SMPL/SMPL-H/MANO/FLAME); larger clouds such as
+        # SMPL-X (V=10475) silently take the unpacked kernel instead
+        packed = False
     if packed:
         assert not cull, "packed kernel does not implement the AABB cull"
-        assert V + ((-V) % tile_v) <= 8192, "packed index field is 13 bits"
 
     # The kNN itself is non-differentiable (reference runs it under no_grad,
     # anim_nerf.py:157-159); block tangents before the kernel so autodiff

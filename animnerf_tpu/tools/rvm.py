@@ -67,6 +67,9 @@ def run_rvm(images_dir: str, out_dir: str,
     frames = sorted(f for f in os.listdir(images_dir)
                     if f.endswith((".png", ".jpg")))
     # warm-up: prepend the first frames reversed (reference tools/rvm.py:31)
+    # clip the skip to the prefix actually prepended — with fewer frames
+    # than `warmup`, skipping a fixed `warmup` would drop real frames
+    n_warm = len(frames[:warmup])
     order = frames[:warmup][::-1] + frames
     rec = [None] * 4
     n_out = 0
@@ -75,7 +78,7 @@ def run_rvm(images_dir: str, out_dir: str,
         rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         src = torch.from_numpy(rgb).float().permute(2, 0, 1)[None] / 255.0
         fgr, pha, *rec = model(src, *rec, downsample_ratio)
-        if i < warmup:
+        if i < n_warm:
             continue  # warm-up output discarded; only its rec state is kept
         alpha = (np.asarray(pha[0, 0]) * 255).astype(np.uint8)
         rgba = np.dstack([img, alpha])  # BGR + A: cv2.imwrite expects BGRA

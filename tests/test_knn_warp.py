@@ -463,3 +463,28 @@ def test_knn_pallas_points_t_in():
                         points_t_in=True)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i))
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d), atol=0)
+
+
+def test_knn_pallas_packed_large_v_downgrades_to_unpacked():
+    """packed=True with a vertex cloud too big for the 13-bit index field
+    (e.g. SMPL-X: V=10475) must silently take the unpacked kernel — exact,
+    unquantized distances — instead of asserting or corrupting keys."""
+    from animnerf_tpu.ops.knn import knn_bruteforce
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+    rng = np.random.default_rng(17)
+    pts = jnp.asarray(rng.normal(size=(1, 128, 3)).astype(np.float32))
+    verts = jnp.asarray(rng.normal(size=(1, 10475, 3)).astype(np.float32))
+    d_ref, _ = knn_bruteforce(pts, verts, k=4)
+    d_pl, i_pl = knn_pallas(pts, verts, k=4, tile_n=128, tile_v=512,
+                            interpret=True, packed=True)
+    # unpacked result: full f32 precision, NOT the 2^-10 quantization the
+    # packed key would impose (and no 13-bit index overflow corruption)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref),
+                               atol=2e-4)
+    d_true_at_idx = np.take_along_axis(
+        np.linalg.norm(np.asarray(pts)[:, :, None]
+                       - np.asarray(verts)[:, None], axis=-1),
+        np.asarray(i_pl), axis=-1)
+    np.testing.assert_allclose(d_true_at_idx, np.asarray(d_ref), atol=2e-4)
+    assert int(np.max(np.asarray(i_pl))) < 10475

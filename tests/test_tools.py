@@ -240,3 +240,31 @@ def test_rvm_driver_end_to_end(tmp_path):
         count = warmup + 1 + i  # warm-up calls advanced the state first
         expect_a = np.uint8(min(mean01(v) + 0.001 * count, 1.0) * 255)
         assert np.all(out[..., 3] == expect_a)
+
+
+def test_rvm_driver_fewer_frames_than_warmup(tmp_path):
+    """With fewer frames than the warm-up length the prepended reversed
+    prefix is shorter than `warmup`; the skip must clip to the prefix
+    actually prepended or real frames get silently dropped."""
+    torch = pytest.importorskip("torch")
+    import cv2
+
+    from animnerf_tpu.tools.rvm import run_rvm
+
+    imgs_dir, out_dir = tmp_path / "imgs", tmp_path / "out"
+    imgs_dir.mkdir()
+    vals = [40, 200]  # 2 frames < warmup=4
+    for i, v in enumerate(vals):
+        cv2.imwrite(str(imgs_dir / f"{i:06d}.png"),
+                    np.full((8, 6, 3), v, np.uint8))
+
+    def fake_model(src, r1, r2, r3, r4, ratio):
+        pha = torch.full((1, 1, 8, 6), float(src.mean()))
+        return src, pha, r1, r2, r3, r4
+
+    n = run_rvm(str(imgs_dir), str(out_dir), model=fake_model, warmup=4)
+    assert n == len(vals)
+    for i, v in enumerate(vals):
+        out = cv2.imread(str(out_dir / f"{i:06d}.png"), cv2.IMREAD_UNCHANGED)
+        assert out is not None and out.shape == (8, 6, 4)
+        assert np.all(out[..., 0] == v)
