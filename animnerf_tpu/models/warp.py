@@ -84,7 +84,16 @@ def transform_points(T: jax.Array, p: jax.Array, directional: bool = False) -> j
 @struct.dataclass
 class FrameContext:
     """Everything the renderer needs about one (batch of) observed frame(s),
-    already rebased into the SMPL root frame."""
+    already rebased into the SMPL root frame.
+
+    The two `*_morton` fields are a per-frame cache for the fused warp
+    (filled by prepare_frame iff the fused warp kernel is enabled): the
+    Morton-sorted vertex cloud and the permuted [lbs | ober2cano] table.
+    unpose runs 2-3x per step (coarse / fine / fine-depth samples) on the
+    same ctx; caching makes the argsorts and the table permute (and the
+    permute's inverse-gather VJP, via cotangent accumulation) run once.
+    Invariant: a ctx is immutable after prepare_frame — `.replace()` on
+    verts/ober2cano/lbs_weights must also drop these fields to None."""
 
     verts: jax.Array            # (B, V, 3) observed verts, root frame
     joints: jax.Array           # (B, J, 3) observed joints, root frame
@@ -92,6 +101,8 @@ class FrameContext:
     root_inv: jax.Array         # (B, 4, 4) world->root transform
     verts_template: jax.Array   # (B, V, 3) canonical-space template verts
     lbs_weights: jax.Array      # (V, J)
+    verts_morton: Optional[jax.Array] = None  # (B, V, 3) Morton-sorted
+    table_morton: Optional[jax.Array] = None  # (B, V, J+16) permuted table
 
 
 def _forward_obs_template(model: BodyModel, params: dict,
@@ -159,7 +170,7 @@ def prepare_frame(
     ober2cano = jnp.matmul(tmpl.vertices_transform, inv,
                            precision=jax.lax.Precision.HIGHEST)
 
-    return FrameContext(
+    ctx = FrameContext(
         verts=verts,
         joints=joints,
         ober2cano=ober2cano,
@@ -167,6 +178,39 @@ def prepare_frame(
         verts_template=tmpl.vertices,
         lbs_weights=model.lbs_weights,
     )
+    if _fused_warp_enabled():
+        verts_p, table_p = _morton_inputs(ctx)
+        ctx = ctx.replace(verts_morton=verts_p, table_morton=table_p)
+    return ctx
+
+
+def _morton_inputs(ctx: FrameContext) -> tuple[jax.Array, jax.Array]:
+    """(Morton-sorted verts, permuted [lbs | ober2cano] table) for the
+    fused warp kernel — from the ctx cache when prepare_frame filled it,
+    else built inline (ctx constructed while the fused warp was disabled,
+    e.g. CPU tests driving the kernels in interpret mode).
+
+    Morton-sorting the vertices makes index neighbourhoods spatial
+    neighbourhoods, so the blend kernel's candidate-chunk pruning (and the
+    scatter backward's candidate tiles) see a handful of chunks per point
+    tile regardless of the mesh's native vertex order. kNN is exact under
+    permutation (distance order preserved; only measure-zero ties can pick
+    a different equal-distance vertex)."""
+    if ctx.verts_morton is not None:
+        return ctx.verts_morton, ctx.table_morton
+
+    from animnerf_tpu.ops.warp_blend import morton_codes, permute_rows
+
+    B = ctx.verts.shape[0]
+    V, J = ctx.lbs_weights.shape
+    verts_c = jax.lax.stop_gradient(ctx.verts)
+    perm = jnp.argsort(morton_codes(verts_c), axis=1)
+    inv = jnp.argsort(perm, axis=1)
+    verts_p = jnp.take_along_axis(verts_c, perm[..., None], axis=1)
+    table = jnp.concatenate(
+        [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
+         ctx.ober2cano.reshape(B, V, 16)], axis=-1)
+    return verts_p, permute_rows(table, perm, inv)
 
 
 def rays_to_root_frame(ctx: FrameContext, rays: jax.Array) -> jax.Array:
@@ -187,10 +231,9 @@ def _fused_warp_enabled() -> bool:
 
     if os.environ.get("ANIMNERF_WARP_FUSED", "1") != "1":
         return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+    from animnerf_tpu.utils.platform import on_tpu
+
+    return on_tpu()
 
 
 def blend_neighbour_transforms(
@@ -252,29 +295,13 @@ def unpose(
     fs = dis_threshold if far_skip else 0.0
 
     if _fused_warp_enabled():
-        # Morton-sort the vertices so index neighbourhoods are spatial
-        # neighbourhoods — the fused blend kernel's candidate-chunk pruning
-        # (and the scatter backward's candidate tiles) then see a handful
-        # of chunks per point tile regardless of the mesh's native vertex
-        # order. kNN is exact under permutation (distance order preserved;
-        # only measure-zero ties can pick a different equal-distance
-        # vertex). ~2 ms of argsort+gathers for a ~50 ms swing.
-        from animnerf_tpu.ops.warp_blend import (
-            morton_codes,
-            permute_rows,
-            warp_blend,
-        )
-
         import os
 
         from animnerf_tpu.ops.knn_pallas import knn_pallas
+        from animnerf_tpu.ops.warp_blend import warp_blend
 
-        B, N = xyz.shape[:2]
-        V, J = ctx.lbs_weights.shape
-        verts_c = jax.lax.stop_gradient(ctx.verts)
-        perm = jnp.argsort(morton_codes(verts_c), axis=1)
-        inv = jnp.argsort(perm, axis=1)
-        verts_p = jnp.take_along_axis(verts_c, perm[..., None], axis=1)
+        _, J = ctx.lbs_weights.shape
+        verts_p, table_p = _morton_inputs(ctx)
         # kernel-native (B, k, N) flows straight into the blend kernel —
         # no (B, N, k) retiling round trip
         dists, idx = knn_pallas(
@@ -285,10 +312,6 @@ def unpose(
             packed=os.environ.get("ANIMNERF_KNN_PACKED", "1") == "1",
             transposed_out=True)
 
-        table = jnp.concatenate(
-            [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
-             ctx.ober2cano.reshape(B, V, 16)], axis=-1)
-        table_p = permute_rows(table, perm, inv)
         xyz_cano, viewdir, blended_dist = warp_blend(
             xyz, viewdir, dists, idx, table_p, J, float(weight_std), 0.9,
             bool(unpose_view), True)
@@ -368,18 +391,10 @@ def unpose_rows(
     import os
 
     from animnerf_tpu.ops.knn_pallas import knn_pallas
-    from animnerf_tpu.ops.warp_blend import (
-        morton_codes,
-        permute_rows,
-        warp_blend_rows,
-    )
+    from animnerf_tpu.ops.warp_blend import warp_blend_rows
 
-    B = xyz_t.shape[0]
-    V, J = ctx.lbs_weights.shape
-    verts_c = jax.lax.stop_gradient(ctx.verts)
-    perm = jnp.argsort(morton_codes(verts_c), axis=1)
-    inv = jnp.argsort(perm, axis=1)
-    verts_p = jnp.take_along_axis(verts_c, perm[..., None], axis=1)
+    _, J = ctx.lbs_weights.shape
+    verts_p, table_p = _morton_inputs(ctx)
     dists, idx = knn_pallas(
         xyz_t[:, 0:3], verts_p, k=k,
         tile_n=int(os.environ.get("ANIMNERF_KNN_TILE_N", "1024")),
@@ -388,9 +403,5 @@ def unpose_rows(
         packed=os.environ.get("ANIMNERF_KNN_PACKED", "1") == "1",
         transposed_out=True, points_t_in=True)
 
-    table = jnp.concatenate(
-        [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
-         ctx.ober2cano.reshape(B, V, 16)], axis=-1)
-    table_p = permute_rows(table, perm, inv)
     return warp_blend_rows(xyz_t, dists, idx, table_p, J,
                            float(weight_std), 0.9)
