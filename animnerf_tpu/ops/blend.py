@@ -173,10 +173,9 @@ def weighted_scatter_rows_pallas(idx: jax.Array, w: jax.Array, g: jax.Array,
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+    from animnerf_tpu.utils.platform import on_tpu
+
+    return on_tpu()
 
 
 def weighted_scatter_rows(idx: jax.Array, w: jax.Array, g: jax.Array,

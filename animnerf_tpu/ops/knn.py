@@ -77,10 +77,9 @@ def knn_bruteforce(points: jax.Array, verts: jax.Array, k: int = 4,
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+    from animnerf_tpu.utils.platform import on_tpu
+
+    return on_tpu()
 
 
 def knn(points: jax.Array, verts: jax.Array, k: int = 4,

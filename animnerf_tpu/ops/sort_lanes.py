@@ -70,10 +70,9 @@ def _permute_lanes_pallas(payload: jax.Array, order: jax.Array,
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+    from animnerf_tpu.utils.platform import on_tpu
+
+    return on_tpu()
 
 
 def _permute_impl(payload, order, interpret=False):

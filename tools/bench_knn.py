@@ -142,96 +142,6 @@ def knn_mxu(points, verts, k=4, tile_n=1024, tile_v=512, interpret=False,
 
 
 
-def _packed_knn_kernel(points_ref, verts_ref, out_d_ref, out_i_ref,
-                       top_k, *, k: int, tile_v: int, n_vert_tiles: int):
-    """Packed-key extract: key = (bits(d2) & ~0x1FFF) | global_vertex_idx,
-    as int32 (d2 >= 0 so f32 bit pattern is order-preserving and
-    non-negative). One integer min per extract pass replaces
-    min+argmin+iota-knockout; keys are unique per vertex (low bits), so
-    value-equality knockout removes exactly one candidate per lane.
-    Distances come back quantized (13 mantissa bits dropped: <= 2^-10 rel
-    on d2); indices are exact winners under that quantized ordering."""
-    tile_n = points_ref.shape[-1]
-    px = points_ref[0, 0, :].reshape(1, tile_n)
-    py = points_ref[0, 1, :].reshape(1, tile_n)
-    pz = points_ref[0, 2, :].reshape(1, tile_n)
-
-    BIGKEY = jnp.int32(0x7FFFFFFF)
-    MASK = jnp.int32(~0x1FFF)
-    top_k[:] = jnp.full((k, tile_n), BIGKEY, dtype=jnp.int32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_v, tile_n), 0)
-
-    def tile_body(t, _):
-        off = t * tile_v
-        vx = verts_ref[0, 0, pl.ds(off, tile_v)].reshape(tile_v, 1)
-        vy = verts_ref[0, 1, pl.ds(off, tile_v)].reshape(tile_v, 1)
-        vz = verts_ref[0, 2, pl.ds(off, tile_v)].reshape(tile_v, 1)
-        d2 = (vx - px) ** 2 + (vy - py) ** 2 + (vz - pz) ** 2
-        key = (jax.lax.bitcast_convert_type(d2, jnp.int32) & MASK) | (col + off)
-        for _s in range(k):
-            m = jnp.min(key, axis=0, keepdims=True)            # (1, TN)
-            # sorted insert: running rows stay ascending, so replacing the
-            # last row and bubbling keeps exactly the k smallest; no argmax
-            # (Mosaic argmax is f32-only), no final sort network
-            key = jnp.where(key == m, BIGKEY, key)
-            top_k[k - 1, :] = jnp.minimum(top_k[k - 1, :], m[0])
-            for a in range(k - 2, -1, -1):
-                ka, kb = top_k[a, :], top_k[a + 1, :]
-                top_k[a, :] = jnp.minimum(ka, kb)
-                top_k[a + 1, :] = jnp.maximum(ka, kb)
-        return 0
-
-    jax.lax.fori_loop(0, n_vert_tiles, tile_body, 0)
-
-    keys = top_k[:]
-    d2q = jax.lax.bitcast_convert_type(keys & MASK, jnp.float32)
-    out_d_ref[0] = jnp.sqrt(d2q)
-    out_i_ref[0] = keys & jnp.int32(0x1FFF)
-
-
-@partial(jax.jit, static_argnames=("k", "tile_n", "tile_v", "interpret"))
-def knn_packed(points, verts, k=4, tile_n=1024, tile_v=512, interpret=False):
-    B, N, _ = points.shape
-    V = verts.shape[1]
-    assert V + ((-V) % tile_v) <= 8192  # index must fit 13 bits
-    points = jax.lax.stop_gradient(points).astype(jnp.float32)
-    verts = jax.lax.stop_gradient(verts).astype(jnp.float32)
-    pad_n = (-N) % tile_n
-    pad_v = (-V) % tile_v
-    pts = jnp.pad(points, ((0, 0), (0, pad_n), (0, 0)))
-    vts = jnp.pad(verts, ((0, 0), (0, pad_v), (0, 0)), constant_values=_BIG)
-    Np, Vp = N + pad_n, V + pad_v
-    out_d, out_i = pl.pallas_call(
-        partial(_packed_knn_kernel, k=k, tile_v=tile_v,
-                n_vert_tiles=Vp // tile_v),
-        grid=(B, Np // tile_n),
-        in_specs=[
-            pl.BlockSpec((1, 3, tile_n), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Vp), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, k, tile_n), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, tile_n), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, k, Np), jnp.float32),
-            jax.ShapeDtypeStruct((B, k, Np), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((k, tile_n), jnp.int32)],
-        cost_estimate=pl.CostEstimate(
-            flops=9 * B * Np * Vp, bytes_accessed=B * (Np + Vp) * 12,
-            transcendentals=0),
-        interpret=interpret,
-    )(pts.transpose(0, 2, 1), vts.transpose(0, 2, 1))
-    d = out_d.transpose(0, 2, 1)[:, :N]
-    i = out_i.transpose(0, 2, 1)[:, :N]
-    return d, i
-
-
 def bench(fn, pts_list, verts, n=8):
     """Every call — warmup AND timed — uses a NEVER-SEEN input: the axon
     runtime dedups any execution whose inputs it has seen before
@@ -268,10 +178,13 @@ def main():
     print(f"knn_pallas (VPU d2)              : {ms:7.2f} ms")
     ms = bench(lambda p, v: min_dist_pallas(p, v), pts_list, verts)
     print(f"min_dist_pallas                  : {ms:7.2f} ms")
-    ms = bench(lambda p, v: knn_packed(p, v, k=4), pts_list, verts)
-    print(f"knn_packed (key=d2bits|idx)      : {ms:7.2f} ms")
+    # packed variant: bench the PRODUCTION kernel (ops/knn_pallas.py),
+    # not a local copy that could drift from what ships
+    ms = bench(lambda p, v: knn_pallas(p, v, k=4, packed=True),
+               pts_list, verts)
+    print(f"knn_pallas packed (d2bits|idx)   : {ms:7.2f} ms")
     d_ref, i_ref = knn_pallas(pts[:2, :4096], verts[:2], k=4)
-    d_new, i_new = knn_packed(pts[:2, :4096], verts[:2], k=4)
+    d_new, i_new = knn_pallas(pts[:2, :4096], verts[:2], k=4, packed=True)
     rel = np.abs(np.asarray(d_ref) - np.asarray(d_new)) / (np.asarray(d_ref) + 1e-12)
     mism = int(jnp.sum(i_ref != i_new))
     print(f"packed: max rel d err {rel.max():.2e}; idx mismatch {mism}/{i_ref.size}")

@@ -52,15 +52,6 @@ def main():
             return jnp.sum(rgb.astype(jnp.float32)) + jnp.sum(sigma)
 
         @jax.jit
-        def fwdbwd(x, params=params, mod=mod):
-            def loss(p, xx):
-                rgb, sigma = mod.apply(p, xx)
-                return jnp.sum(rgb.astype(jnp.float32)) + jnp.sum(sigma)
-
-            (l, ), g = jax.value_and_grad(loss, argnums=(0, 1))(params, x), None
-            return l
-
-        @jax.jit
         def fwdbwd2(x, params=params, mod=mod):
             def loss(p, xx):
                 rgb, sigma = mod.apply(p, xx)
