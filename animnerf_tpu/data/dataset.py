@@ -31,7 +31,13 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
-from animnerf_tpu.ops.ray_utils import camera_to_c2w, gen_rays, sample_pixels
+from animnerf_tpu.ops.ray_utils import (
+    camera_to_c2w,
+    draw_from_pools,
+    gen_rays,
+    pixel_pools,
+    sample_pixels,
+)
 from animnerf_tpu.smpl.loader import load_pickle
 
 PARAM_KEYS = {
@@ -111,6 +117,19 @@ class AnimNeRFDataset:
         self._rng = np.random.default_rng(seed)
         self._ray_cache: dict[int, np.ndarray] = {}
         self._cam_cache: dict[int, dict] = {}
+        # Per-(frame, cam) cache of the decoded+undistorted uint8 frame and
+        # its sampling pixel pools. Training revisits every frame
+        # (H*W)/(subsamplesize^2) times per epoch (epoch inflation above);
+        # without the cache each 1024-pixel draw re-pays the png decode,
+        # undistort and erode/dilate of the full frame — measured 280 ms/
+        # batch at 512^2, i.e. a ~59k rays/s HOST ceiling under a device
+        # step that already runs faster. Draws from the cache touch only
+        # the sampled pixels and are bit-identical (tests/test_training.py).
+        # Budget in MB via ANIMNERF_FRAME_CACHE_MB (0 disables); FIFO evict.
+        self._frame_cache: "dict[tuple, tuple]" = {}
+        self._frame_cache_bytes = 0
+        self._frame_cache_budget = int(float(os.environ.get(
+            "ANIMNERF_FRAME_CACHE_MB", "2048")) * 2**20)
 
     # ------------------------------------------------------------ loading
 
@@ -149,7 +168,11 @@ class AnimNeRFDataset:
         self._cam_cache[cam_id] = cam
         return cam
 
-    def _transform_image(self, img, mask, cam, undistort=True):
+    def _resize_undistort(self, img, mask, cam, undistort=True):
+        """The geometric (uint8) half of _transform_image — resize then
+        undistort, both on uint8 exactly as the reference orders them
+        (anim_nerf_dataset.py). Cacheable; the photometric half is
+        pointwise f32 and can run on just the sampled pixels."""
         W, H = self.img_wh
         img = cv2.resize(img, (W, H))
         mask = cv2.resize(mask, (W, H))
@@ -160,11 +183,42 @@ class AnimNeRFDataset:
             D = np.asarray(cam["camera_k"], np.float64).reshape(-1, 1)
             img = cv2.undistort(img, K, D)
             mask = cv2.undistort(mask, K, D)
+        return img, mask
+
+    def _transform_image(self, img, mask, cam, undistort=True):
+        img, mask = self._resize_undistort(img, mask, cam, undistort)
         img = img.astype(np.float32) / 255.0
         mask = mask.astype(np.float32) / 255.0
         if not self.with_background:
             img = img * mask[..., None]
         return img, mask
+
+    def _processed_frame(self, frame_id: int, cam_id: int):
+        """(uint8 img, uint8 mask, sampling pools) for one frame, cached
+        up to ANIMNERF_FRAME_CACHE_MB with FIFO eviction. Everything here
+        is deterministic per frame; the per-draw work left is gathering
+        the sampled pixels."""
+        key_ = (frame_id, cam_id)
+        hit = self._frame_cache.get(key_)
+        if hit is not None:
+            return hit
+        cam = self._prepare_camera(cam_id)
+        img, mask = self.load_image(frame_id, cam_id)
+        img, mask = self._resize_undistort(img, mask, cam)
+        H, W = img.shape[:2]
+        pools = pixel_pools(H, W, mask.astype(np.float32) / 255.0,
+                            self.subsampletype, self.fore_erode)
+        nbytes = img.nbytes + mask.nbytes + sum(
+            a.nbytes for p in pools.values() for a in p)
+        entry = (img, mask, pools, nbytes)
+        if nbytes <= self._frame_cache_budget:
+            while (self._frame_cache_bytes + nbytes
+                   > self._frame_cache_budget and self._frame_cache):
+                oldest = next(iter(self._frame_cache))
+                self._frame_cache_bytes -= self._frame_cache.pop(oldest)[3]
+            self._frame_cache[key_] = entry
+            self._frame_cache_bytes += nbytes
+        return entry
 
     def get_rays(self, cam_id: int) -> np.ndarray:
         """Dense (H, W, 8) ray grid, cached per camera."""
@@ -197,13 +251,50 @@ class AnimNeRFDataset:
         frame_id = self.frame_IDs[idx % self.num_frames]
         cam_id = self.cam_IDs[idx // self.num_frames]
 
+        rays = self.get_rays(cam_id)
+
+        if self.mode == "train" and self._frame_cache_budget > 0:
+            # cached path: pointwise photometric ops run on just the
+            # sampled pixels — bit-identical to the dense path below
+            # (same f32 ops per element, same rng call sequence)
+            img_u8, mask_u8, pools, _ = self._processed_frame(
+                frame_id, cam_id)
+            H, W = img_u8.shape[:2]
+            coords = draw_from_pools(rng, pools, H, W, self.subsampletype,
+                                     self.subsamplesize, self.fore_rate)
+            r, c = coords[:, 0], coords[:, 1]
+            rgbs = img_u8[r, c].astype(np.float32) / 255.0
+            m = mask_u8[r, c].astype(np.float32) / 255.0
+            if not self.with_background:
+                rgbs = rgbs * m[:, None]
+            if self.white_bkgd:
+                rgbs = rgbs * m[:, None] + (1.0 - m[:, None])
+            rays_s = rays[r, c]
+            alphas = m[:, None]
+            fg, bg = self.get_points(rng)
+            params = self.load_body_model_params(frame_id)
+            frame_idx = self.frame_ids_index.get(frame_id, -1)
+            return {
+                "cam_id": np.int32(cam_id),
+                "frame_id": np.int32(frame_id),
+                "frame_idx": np.int32(frame_idx),
+                "rays": rays_s.astype(np.float32),
+                "rgbs": rgbs.astype(np.float32),
+                "alphas": alphas.astype(np.float32),
+                "fg_points": fg,
+                "bg_points": bg,
+                **{k: v.reshape(-1).astype(np.float32)
+                   for k, v in params.items()},
+                **{k: v.reshape(-1).astype(np.float32)
+                   for k, v in self.params_template.items()},
+            }
+
         cam = self._prepare_camera(cam_id)
         img, mask = self.load_image(frame_id, cam_id)
         img, mask = self._transform_image(img, mask, cam)
         if self.white_bkgd:
             img = img * mask[..., None] + (1.0 - mask[..., None])
 
-        rays = self.get_rays(cam_id)
         H, W = img.shape[:2]
 
         if self.mode == "train":

@@ -78,6 +78,92 @@ def _draw(rng: np.random.Generator, ix: np.ndarray, iy: np.ndarray, n: int):
     return ix[sel], iy[sel]
 
 
+def pixel_pools(
+    H: int,
+    W: int,
+    mask: Optional[np.ndarray] = None,
+    subsampletype: str = "foreground_pixel",
+    fore_erode: int = 3,
+) -> dict:
+    """The deterministic half of sample_pixels: the candidate coordinate
+    pools the random draw selects from. Depends only on (mask, type,
+    erode), so the data layer caches it per frame — the erode/dilate
+    passes are the expensive part of a draw at 512^2."""
+    if subsampletype == "pixel":
+        ix, iy = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        return {"all": (ix.ravel(), iy.ravel())}
+    if subsampletype == "foreground_pixel":
+        if cv2 is None:
+            raise RuntimeError("cv2 required for foreground_pixel sampling")
+        m = np.ascontiguousarray(mask.reshape(H, W).astype(np.float32))
+        k = np.ones((fore_erode, fore_erode), np.uint8)
+        inside = cv2.erode(m.copy(), k)
+        band_in = cv2.dilate(m.copy(), k)
+        band_out = cv2.dilate(m.copy(), np.ones((64, 64), np.uint8)) - band_in
+
+        ix, iy = np.where(inside > 0)
+        if ix.size == 0:
+            ix, iy = np.where(m > 0)
+        if ix.size == 0:
+            ix, iy = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+            ix, iy = ix.ravel(), iy.ravel()
+
+        ox, oy = np.where(band_out > 0)
+        if ox.size == 0:
+            ox, oy = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+            ox, oy = ox.ravel(), oy.ravel()
+        return {"fore": (ix, iy), "band": (ox, oy)}
+    if subsampletype == "foreground_patch":
+        m = mask.reshape(H, W)
+        ix, iy = np.where(m > 0)
+        if ix.size == 0:
+            ix, iy = np.array([H // 2]), np.array([W // 2])
+        return {"fg": (ix, iy)}
+    return {}  # 'patch' and full-grid draws need no pools
+
+
+def draw_from_pools(
+    rng: np.random.Generator,
+    pools: dict,
+    H: int,
+    W: int,
+    subsampletype: str = "foreground_pixel",
+    subsamplesize: int = 32,
+    fore_rate: float = 0.9,
+) -> np.ndarray:
+    """The random half of sample_pixels; the rng call sequence is exactly
+    sample_pixels', so cached-pool draws are bit-identical to it."""
+    n_pix = subsamplesize * subsamplesize
+
+    if subsampletype == "pixel":
+        px, py = _draw(rng, *pools["all"], n_pix)
+    elif subsampletype == "foreground_pixel":
+        n_fore = int(n_pix * fore_rate)
+        fx, fy = _draw(rng, *pools["fore"], n_fore)
+        bx, by = _draw(rng, *pools["band"], n_pix - n_fore)
+        px = np.concatenate([fx, bx])
+        py = np.concatenate([fy, by])
+    elif subsampletype == "patch":
+        x0 = rng.integers(0, max(H - subsamplesize, 1))
+        y0 = rng.integers(0, max(W - subsamplesize, 1))
+        px, py = np.meshgrid(np.arange(x0, x0 + subsamplesize),
+                             np.arange(y0, y0 + subsamplesize), indexing="ij")
+        px, py = px.ravel(), py.ravel()
+    elif subsampletype == "foreground_patch":
+        cx, cy = _draw(rng, *pools["fg"], 1)
+        half = subsamplesize // 2
+        x0 = int(np.clip(cx[0] - half, 0, H - subsamplesize))
+        y0 = int(np.clip(cy[0] - half, 0, W - subsamplesize))
+        px, py = np.meshgrid(np.arange(x0, x0 + subsamplesize),
+                             np.arange(y0, y0 + subsamplesize), indexing="ij")
+        px, py = px.ravel(), py.ravel()
+    else:  # full grid
+        px, py = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        px, py = px.ravel(), py.ravel()
+
+    return np.stack([px, py], axis=-1).astype(np.int64)
+
+
 def sample_pixels(
     rng: np.random.Generator,
     H: int,
@@ -96,59 +182,9 @@ def sample_pixels(
     'foreground_pixel' draws fore_rate of the pixels from the eroded mask
     interior and the rest from a dilate(64)-dilate(erode) outside band.
     """
-    n_pix = subsamplesize * subsamplesize
-
-    if subsampletype == "pixel":
-        ix, iy = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-        px, py = _draw(rng, ix.ravel(), iy.ravel(), n_pix)
-    elif subsampletype == "foreground_pixel":
-        if cv2 is None:
-            raise RuntimeError("cv2 required for foreground_pixel sampling")
-        m = np.ascontiguousarray(mask.reshape(H, W).astype(np.float32))
-        k = np.ones((fore_erode, fore_erode), np.uint8)
-        inside = cv2.erode(m.copy(), k)
-        band_in = cv2.dilate(m.copy(), k)
-        band_out = cv2.dilate(m.copy(), np.ones((64, 64), np.uint8)) - band_in
-
-        ix, iy = np.where(inside > 0)
-        if ix.size == 0:
-            ix, iy = np.where(m > 0)
-        if ix.size == 0:
-            ix, iy = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-            ix, iy = ix.ravel(), iy.ravel()
-        n_fore = int(n_pix * fore_rate)
-        fx, fy = _draw(rng, ix, iy, n_fore)
-
-        ox, oy = np.where(band_out > 0)
-        if ox.size == 0:
-            ox, oy = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-            ox, oy = ox.ravel(), oy.ravel()
-        bx, by = _draw(rng, ox, oy, n_pix - n_fore)
-        px = np.concatenate([fx, bx])
-        py = np.concatenate([fy, by])
-    elif subsampletype == "patch":
-        x0 = rng.integers(0, max(H - subsamplesize, 1))
-        y0 = rng.integers(0, max(W - subsamplesize, 1))
-        px, py = np.meshgrid(np.arange(x0, x0 + subsamplesize),
-                             np.arange(y0, y0 + subsamplesize), indexing="ij")
-        px, py = px.ravel(), py.ravel()
-    elif subsampletype == "foreground_patch":
-        m = mask.reshape(H, W)
-        ix, iy = np.where(m > 0)
-        if ix.size == 0:
-            ix, iy = np.array([H // 2]), np.array([W // 2])
-        cx, cy = _draw(rng, ix, iy, 1)
-        half = subsamplesize // 2
-        x0 = int(np.clip(cx[0] - half, 0, H - subsamplesize))
-        y0 = int(np.clip(cy[0] - half, 0, W - subsamplesize))
-        px, py = np.meshgrid(np.arange(x0, x0 + subsamplesize),
-                             np.arange(y0, y0 + subsamplesize), indexing="ij")
-        px, py = px.ravel(), py.ravel()
-    else:  # full grid
-        px, py = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-        px, py = px.ravel(), py.ravel()
-
-    return np.stack([px, py], axis=-1).astype(np.int64)
+    pools = pixel_pools(H, W, mask, subsampletype, fore_erode)
+    return draw_from_pools(rng, pools, H, W, subsampletype, subsamplesize,
+                           fore_rate)
 
 
 def ndc_rays(H: int, W: int, focal: float, near, rays_o: np.ndarray,

@@ -166,3 +166,32 @@ def test_eval_step_shapes(synth_root):
     assert out["rgbs_fine"].shape == (1, 32 * 32, 3)
     assert np.isfinite(np.asarray(out["rgbs_fine"])).all()
     assert out["alphas"].shape == (1, 32 * 32, 1)
+
+
+@pytest.mark.parametrize("subsampletype", ["foreground_pixel", "pixel",
+                                           "patch", "foreground_patch"])
+def test_dataset_frame_cache_bit_identical(synth_root, subsampletype,
+                                           monkeypatch):
+    """The frame cache (uint8 image + pixel pools, photometric ops on just
+    the sampled pixels) must produce BIT-identical samples to the dense
+    per-draw path, for every subsampletype and under identical rng
+    streams (same _draw call sequence)."""
+    kw = dict(mode="train", img_wh=(32, 32), frame_start_ID=1,
+              frame_end_ID=3, frame_skip=1, subsamplesize=8,
+              subsampletype=subsampletype)
+    ds_cached = AnimNeRFDataset(synth_root, **kw)
+    assert ds_cached._frame_cache_budget > 0
+    monkeypatch.setenv("ANIMNERF_FRAME_CACHE_MB", "0")
+    ds_dense = AnimNeRFDataset(synth_root, **kw)
+    assert ds_dense._frame_cache_budget == 0
+
+    for idx in (0, 1, 5, 17):
+        r1 = np.random.default_rng(123 + idx)
+        r2 = np.random.default_rng(123 + idx)
+        a = ds_cached.get(idx, r1)
+        b = ds_dense.get(idx, r2)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=k)
+    assert ds_cached._frame_cache  # the cache actually engaged
