@@ -356,6 +356,19 @@ class Loader:
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         rng = np.random.default_rng((self.seed, epoch))
         indices = self._epoch_indices(epoch)
+        stop = threading.Event()
+
+        def put(q: queue.Queue, item) -> bool:
+            # bounded put that notices an abandoned consumer — a caller
+            # that breaks out of the generator must not leave this thread
+            # blocked on a full queue at interpreter exit
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce(q: queue.Queue):
             try:
@@ -364,15 +377,19 @@ class Loader:
                     samples = [self.dataset.get(int(i), rng) for i in chunk]
                     batch = {k: np.stack([s[k] for s in samples])
                              for k in samples[0]}
-                    q.put(batch)
+                    if not put(q, batch):
+                        return
             finally:
-                q.put(None)
+                put(q, None)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                return
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
