@@ -127,6 +127,7 @@ class AnimNeRFDataset:
         # the sampled pixels and are bit-identical (tests/test_training.py).
         # Budget in MB via ANIMNERF_FRAME_CACHE_MB (0 disables); FIFO evict.
         self._frame_cache: "dict[tuple, tuple]" = {}
+        self._frame_cache_lock = threading.Lock()
         self._frame_cache_bytes = 0
         self._frame_cache_budget = int(float(os.environ.get(
             "ANIMNERF_FRAME_CACHE_MB", "2048")) * 2**20)
@@ -208,16 +209,23 @@ class AnimNeRFDataset:
         H, W = img.shape[:2]
         pools = pixel_pools(H, W, mask.astype(np.float32) / 255.0,
                             self.subsampletype, self.fore_erode)
+        # read-only pool arrays are module-level shared grids (one copy
+        # for all frames) — don't charge them to this entry's budget
         nbytes = img.nbytes + mask.nbytes + sum(
-            a.nbytes for p in pools.values() for a in p)
+            a.nbytes for p in pools.values() for a in p if a.flags.writeable)
         entry = (img, mask, pools, nbytes)
         if nbytes <= self._frame_cache_budget:
-            while (self._frame_cache_bytes + nbytes
-                   > self._frame_cache_budget and self._frame_cache):
-                oldest = next(iter(self._frame_cache))
-                self._frame_cache_bytes -= self._frame_cache.pop(oldest)[3]
-            self._frame_cache[key_] = entry
-            self._frame_cache_bytes += nbytes
+            # overlapping Loader producer threads (an abandoned epoch's
+            # producer can outlive its consumer by one chunk) make
+            # concurrent inserts routine — evict under a lock
+            with self._frame_cache_lock:
+                while (self._frame_cache_bytes + nbytes
+                       > self._frame_cache_budget and self._frame_cache):
+                    oldest = next(iter(self._frame_cache))
+                    self._frame_cache_bytes -= (
+                        self._frame_cache.pop(oldest)[3])
+                self._frame_cache[key_] = entry
+                self._frame_cache_bytes += nbytes
         return entry
 
     def get_rays(self, cam_id: int) -> np.ndarray:
@@ -371,6 +379,9 @@ class Loader:
             return False
 
         def produce(q: queue.Queue):
+            # exceptions ride the queue to the consumer — a failed decode
+            # must surface in the training loop, not masquerade as a
+            # clean (short) end of epoch
             try:
                 for start in range(0, len(indices), self.batch_size):
                     chunk = indices[start:start + self.batch_size]
@@ -379,8 +390,9 @@ class Loader:
                              for k in samples[0]}
                     if not put(q, batch):
                         return
-            finally:
                 put(q, None)
+            except BaseException as e:  # noqa: BLE001
+                put(q, e)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
@@ -390,6 +402,8 @@ class Loader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -92,8 +92,9 @@ class FrameContext:
     unpose runs 2-3x per step (coarse / fine / fine-depth samples) on the
     same ctx; caching makes the argsorts and the table permute (and the
     permute's inverse-gather VJP, via cotangent accumulation) run once.
-    Invariant: a ctx is immutable after prepare_frame — `.replace()` on
-    verts/ober2cano/lbs_weights must also drop these fields to None."""
+    Invariant: the cache must match verts/ober2cano/lbs_weights. Mutate
+    geometry through with_geometry() — it drops the cache by construction;
+    a bare `.replace(verts=...)` would silently warp with stale geometry."""
 
     verts: jax.Array            # (B, V, 3) observed verts, root frame
     joints: jax.Array           # (B, J, 3) observed joints, root frame
@@ -103,6 +104,12 @@ class FrameContext:
     lbs_weights: jax.Array      # (V, J)
     verts_morton: Optional[jax.Array] = None  # (B, V, 3) Morton-sorted
     table_morton: Optional[jax.Array] = None  # (B, V, J+16) permuted table
+
+    def with_geometry(self, **updates) -> "FrameContext":
+        """replace() for geometry fields that also invalidates the fused-warp
+        Morton cache. Use this instead of bare .replace() when changing
+        verts / ober2cano / lbs_weights (pose refinement, jitter ablations)."""
+        return self.replace(verts_morton=None, table_morton=None, **updates)
 
 
 def _forward_obs_template(model: BodyModel, params: dict,

@@ -78,6 +78,23 @@ def _draw(rng: np.random.Generator, ix: np.ndarray, iy: np.ndarray, n: int):
     return ix[sel], iy[sel]
 
 
+_full_grid_cache: dict = {}
+
+
+def _full_grid(H: int, W: int):
+    """Shared read-only (ix, iy) ravel of the full H*W grid. Mask-independent,
+    so every cached frame can alias one copy instead of carrying its own
+    ~4 MB of int64 coords at 512^2."""
+    hit = _full_grid_cache.get((H, W))
+    if hit is None:
+        ix, iy = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        ix, iy = ix.ravel(), iy.ravel()
+        ix.setflags(write=False)
+        iy.setflags(write=False)
+        hit = _full_grid_cache[(H, W)] = (ix, iy)
+    return hit
+
+
 def pixel_pools(
     H: int,
     W: int,
@@ -90,8 +107,7 @@ def pixel_pools(
     erode), so the data layer caches it per frame — the erode/dilate
     passes are the expensive part of a draw at 512^2."""
     if subsampletype == "pixel":
-        ix, iy = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-        return {"all": (ix.ravel(), iy.ravel())}
+        return {"all": _full_grid(H, W)}
     if subsampletype == "foreground_pixel":
         if cv2 is None:
             raise RuntimeError("cv2 required for foreground_pixel sampling")
@@ -105,13 +121,11 @@ def pixel_pools(
         if ix.size == 0:
             ix, iy = np.where(m > 0)
         if ix.size == 0:
-            ix, iy = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-            ix, iy = ix.ravel(), iy.ravel()
+            ix, iy = _full_grid(H, W)
 
         ox, oy = np.where(band_out > 0)
         if ox.size == 0:
-            ox, oy = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-            ox, oy = ox.ravel(), oy.ravel()
+            ox, oy = _full_grid(H, W)
         return {"fore": (ix, iy), "band": (ox, oy)}
     if subsampletype == "foreground_patch":
         m = mask.reshape(H, W)

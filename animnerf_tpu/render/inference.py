@@ -435,7 +435,7 @@ class Renderer:
         cfg = self.system.renderer_cfg
         quantum = 65536
         mh = [None] * n
-        pending: list = []  # (frame_i, out, n_c, n_f, active, fars, R_act)
+        pending: list = []  # (frame_i, first_out, caps_used, args, active, fars, R_act)
         history: dict = {}  # R_act -> list of recent (n_c, n_f)
         shrink_after = 2
 

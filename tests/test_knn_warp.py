@@ -111,6 +111,19 @@ def test_unpose_recovers_template_verts():
     assert np.median(err) < 0.05, f"median unpose err {np.median(err)}"
 
 
+def test_with_geometry_drops_morton_cache():
+    """Mutating ctx geometry through with_geometry must invalidate the
+    fused-warp Morton cache (stale cache => warping with old geometry)."""
+    model, params, template = _frame_setup(seed=9)
+    ctx = prepare_frame(model, params, template)
+    primed = ctx.replace(verts_morton=ctx.verts,
+                         table_morton=jnp.zeros((2, ctx.verts.shape[1], 4)))
+    moved = primed.with_geometry(verts=primed.verts + 0.01)
+    assert moved.verts_morton is None and moved.table_morton is None
+    np.testing.assert_allclose(np.asarray(moved.verts),
+                               np.asarray(primed.verts) + 0.01, rtol=1e-6)
+
+
 def test_unpose_far_points_invalid():
     model, params, template = _frame_setup(seed=4)
     ctx = prepare_frame(model, params, template)

@@ -118,6 +118,46 @@ def test_loader_batches(synth_root):
     assert batch["frame_idx"].shape == (2,)
 
 
+def test_loader_propagates_producer_errors(synth_root):
+    """A failure inside dataset.get (bad decode, cache bug) must raise in
+    the consuming loop — not silently truncate the epoch."""
+    ds = AnimNeRFDataset(synth_root, mode="train", img_wh=(32, 32),
+                         frame_start_ID=1, frame_end_ID=3, frame_skip=1,
+                         subsamplesize=8)
+    boom = RuntimeError("decode failed")
+    calls = {"n": 0}
+    orig_get = ds.get
+
+    def flaky_get(idx, rng):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise boom
+        return orig_get(idx, rng)
+
+    ds.get = flaky_get
+    loader = Loader(ds, batch_size=2, seed=0)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for _ in loader.epoch(0):
+            pass
+
+
+def test_frame_cache_shares_full_grid(synth_root):
+    """subsampletype='pixel' pools are one shared read-only grid — cached
+    entries must not each carry their own H*W int64 coordinate copy."""
+    from animnerf_tpu.ops.ray_utils import pixel_pools
+    p1 = pixel_pools(32, 32, None, "pixel")
+    p2 = pixel_pools(32, 32, None, "pixel")
+    assert p1["all"][0] is p2["all"][0]
+    ds = AnimNeRFDataset(synth_root, mode="train", img_wh=(32, 32),
+                         frame_start_ID=1, frame_end_ID=3, frame_skip=1,
+                         subsamplesize=8, subsampletype="pixel")
+    ds.get(0, np.random.default_rng(0))
+    (_, _, pools, nbytes), = ds._frame_cache.values()
+    assert pools["all"][0] is p1["all"][0]
+    img_mask_bytes = 32 * 32 * 3 + 32 * 32  # uint8 img + mask
+    assert nbytes == img_mask_bytes  # shared pools charge nothing
+
+
 # --------------------------------------------------------------- training
 
 
