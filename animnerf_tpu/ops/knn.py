@@ -140,3 +140,40 @@ def min_vertex_distance(points: jax.Array, verts: jax.Array) -> jax.Array:
 
         return min_dist_pallas(points, verts)
     return min_vertex_distance_jnp(points, verts)
+
+
+def keep_within_boxes(points: jax.Array, verts: jax.Array, thr: float,
+                      nb: int = 64) -> jax.Array:
+    """Conservative validity pre-pass: (B, N, 3) points, (B, V, 3) verts ->
+    (B, N) bool, True for EVERY point whose nearest-vertex distance could
+    be < thr (a strict superset of `min_vertex_distance < thr`).
+
+    The exact min-dist sweep costs V*3 FMAs per point (V=6890) — at a
+    512^2 novel view's ~21M dense samples that sweep alone was ~70% of the
+    fused render program. A boolean is all the compacted render needs, and
+    a CONSERVATIVE one is exact end-to-end: kept-but-invalid samples flow
+    through the full kNN+warp, which sigma-fills them identically to the
+    dense path (anim_nerf.py:305), and dropped samples are provably
+    invalid either way. So: split the verts into nb index chunks (callers
+    pass the Morton-sorted cloud, making chunks spatially tight), take
+    each chunk's AABB inflated by thr per axis (L-inf >= L2: any point
+    within L2 thr of a chunk vertex lies in the inflated box), and keep a
+    point iff it lies in ANY box — nb*6 VPU compares per point, ~30x
+    cheaper than the sweep. The unrolled accumulation keeps the transient
+    at (B, N) (no (B, N, nb, 3) tensor in HBM)."""
+    points = jax.lax.stop_gradient(points)
+    verts = jax.lax.stop_gradient(verts)
+    B, V = verts.shape[:2]
+    nb = min(nb, V)
+    pad = (-V) % nb
+    vv = jnp.pad(verts, ((0, 0), (0, pad), (0, 0)), mode="edge") if pad \
+        else verts
+    vv = vv.reshape(B, nb, -1, 3)
+    lo = vv.min(axis=2) - thr  # (B, nb, 3)
+    hi = vv.max(axis=2) + thr
+    keep = jnp.zeros(points.shape[:2], bool)
+    for b in range(nb):
+        inb = jnp.all((points >= lo[:, None, b]) & (points <= hi[:, None, b]),
+                      axis=-1)
+        keep = keep | inb
+    return keep

@@ -108,6 +108,14 @@ class Renderer:
     # quantum (+10% headroom) so per-view survivor jitter reuses a handful
     # of compiled programs
     compact_quantum: int = 8192
+    # Validity pre-pass flavor: "boxes" = conservative point-in-inflated-
+    # chunk-AABB test (ops/knn.py::keep_within_boxes — exact end-to-end,
+    # ~30x cheaper than the exact min-dist sweep, which was ~70% of the
+    # 512^2 fused render program); "exact" = min_vertex_distance < thr
+    # (tightest survivor counts; useful for capacity A/B or non-Morton
+    # vertex clouds whose index-chunk boxes would be too loose).
+    prepass: str = "boxes"
+    prepass_boxes: int = 64
 
     def _compaction_applicable(self) -> bool:
         cfg = self.system.renderer_cfg
@@ -145,7 +153,7 @@ class Renderer:
         its pre-pass, compacted fine pass. Returns (out, n_c, n_f); counts
         above the static capacities mean survivors were dropped — the
         caller re-renders at the true rung (exact)."""
-        from animnerf_tpu.ops.knn import min_vertex_distance
+        from animnerf_tpu.ops.knn import keep_within_boxes, min_vertex_distance
         from animnerf_tpu.render.compact import (
             compact_coarse,
             compact_fine,
@@ -164,11 +172,24 @@ class Renderer:
         z_c = sample_coarse(cfg, rays_root, 0.0, None)
         B, R, Kc = z_c.shape
 
+        # Morton-sorted index chunks give the box pre-pass tight AABBs;
+        # fall back to mesh-order chunks (still conservative, just looser)
+        box_verts = ctx.verts_morton if ctx.verts_morton is not None \
+            else ctx.verts
+
         def keep_of(z, K):
             xyz = (rays_root[..., None, 0:3]
                    + z[..., None] * rays_root[..., None, 3:6]
                    ).reshape(B, R * K, 3)
-            keep = min_vertex_distance(xyz, ctx.verts) < thr
+            if self.prepass == "boxes":
+                # conservative superset of (min dist < thr): exact
+                # end-to-end (kept-but-invalid samples sigma-fill in the
+                # warp) at ~1/30 the pre-pass cost; survivor counts (and
+                # the caps they drive) run ~1.3-1.6x the exact pass's
+                keep = keep_within_boxes(xyz, box_verts, thr,
+                                         nb=self.prepass_boxes)
+            else:
+                keep = min_vertex_distance(xyz, ctx.verts) < thr
             return keep, jnp.max(jnp.sum(keep, axis=1)).astype(jnp.int32)
 
         keep_c, n_c = keep_of(z_c, Kc)

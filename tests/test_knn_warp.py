@@ -337,6 +337,82 @@ def test_min_dist_pallas_interpret_matches_bruteforce():
                                atol=2e-4)
 
 
+def test_keep_within_boxes_superset_of_exact():
+    """The box pre-pass (render/inference.py validity test) must keep a
+    SUPERSET of the exact (min dist < thr) mask — that containment is what
+    makes the compacted render exact — and must actually prune: points far
+    from every vertex must be dropped."""
+    from animnerf_tpu.ops.knn import keep_within_boxes, min_vertex_distance_jnp
+
+    rng = np.random.default_rng(11)
+    verts = jnp.asarray(rng.normal(scale=0.4,
+                                   size=(2, 700, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.normal(scale=1.5,
+                                 size=(2, 4000, 3)).astype(np.float32))
+    thr = 0.2
+    exact = np.asarray(min_vertex_distance_jnp(pts, verts) < thr)
+    for nb in (1, 7, 32, 64, 701):
+        keep = np.asarray(keep_within_boxes(pts, verts, thr, nb=nb))
+        assert not (exact & ~keep).any(), f"nb={nb} dropped a valid point"
+    # with per-vertex boxes (nb >= V) the test is the L-inf ball union:
+    # anything beyond sqrt(3)*thr of every vertex must be dropped
+    d = np.asarray(min_vertex_distance_jnp(pts, verts))
+    keep = np.asarray(keep_within_boxes(pts, verts, thr, nb=701))
+    far = d > np.sqrt(3.0) * thr
+    assert not (far & keep).any()
+    # and the box mask prunes most of this scattered cloud
+    assert keep.mean() < 0.8
+
+
+def test_fused_prepass_boxes_matches_exact(tmp_path):
+    """The fused compacted render must produce identical images with the
+    box pre-pass and the exact min-dist pre-pass (the box mask is a
+    superset; extras sigma-fill in the warp)."""
+    from animnerf_tpu.models.body_params import init_body_params
+    from animnerf_tpu.render.inference import Renderer
+    from animnerf_tpu.training.system import AnimNeRFSystem
+    from animnerf_tpu.config import finalize, get_default_config
+
+    cfg = get_default_config()
+    cfg.n_samples = 8
+    cfg.n_importance = 4
+    cfg.use_view = False
+    cfg.freqs_dir = 0
+    cfg.train.frame_start_ID = 1
+    cfg.train.frame_end_ID = 2
+    cfg.train.frame_skip = 1
+    cfg = finalize(cfg)
+    body_model = make_body_model(num_verts=128, num_joints=12, seed=0)
+    system = AnimNeRFSystem(cfg, body_model)
+    params = system.init_params(
+        jax.random.PRNGKey(0), init_body_params(cfg.num_frames, pose_dim=33))
+    bp = {k: jnp.asarray(v) for k, v in
+          random_pose_params(12, batch=1, seed=1).items()}
+    tmpl = {k: jnp.asarray(v) for k, v in
+            random_pose_params(12, batch=1, seed=2).items()}
+    tmpl = dict(tmpl, transl=jnp.zeros_like(tmpl["transl"]))
+
+    rng = np.random.default_rng(3)
+    o = rng.normal(scale=0.1, size=(64, 3)).astype(np.float32)
+    o[:, 2] += 3.0
+    d = -o + rng.normal(scale=0.05, size=o.shape).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((64, 1), 0.1, np.float32),
+         np.full((64, 1), 10.0, np.float32)], axis=-1)
+
+    outs = {}
+    for mode in ("boxes", "exact"):
+        r = Renderer(system)
+        r.cull_rays = False
+        r.compact_quantum = 32
+        r.prepass = mode
+        assert r._compaction_applicable()
+        outs[mode] = r.render_frame(params, bp, tmpl, rays)
+    for a, b in zip(outs["boxes"], outs["exact"]):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_ndc_rays_projection_properties():
     """NDC conversion (reference utils/ray_utils.py:124-164): origins land
     on the z = -1 near face, and points along each world ray map onto the
