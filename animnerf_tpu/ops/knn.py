@@ -159,8 +159,10 @@ def keep_within_boxes(points: jax.Array, verts: jax.Array, thr: float,
     each chunk's AABB inflated by thr per axis (L-inf >= L2: any point
     within L2 thr of a chunk vertex lies in the inflated box), and keep a
     point iff it lies in ANY box — nb*6 VPU compares per point, ~30x
-    cheaper than the sweep. The unrolled accumulation keeps the transient
-    at (B, N) (no (B, N, nb, 3) tensor in HBM)."""
+    cheaper than the sweep. The accumulation keeps the transient at (B, N)
+    (no (B, N, nb, 3) tensor in HBM): a small unrolled loop at the default
+    nb=64, a fori_loop above 128 boxes so a large nb doesn't bloat the
+    traced graph with hundreds of ops (ADVICE r3 item 3)."""
     points = jax.lax.stop_gradient(points)
     verts = jax.lax.stop_gradient(verts)
     B, V = verts.shape[:2]
@@ -171,9 +173,15 @@ def keep_within_boxes(points: jax.Array, verts: jax.Array, thr: float,
     vv = vv.reshape(B, nb, -1, 3)
     lo = vv.min(axis=2) - thr  # (B, nb, 3)
     hi = vv.max(axis=2) + thr
-    keep = jnp.zeros(points.shape[:2], bool)
-    for b in range(nb):
+
+    def in_box(keep, b):
         inb = jnp.all((points >= lo[:, None, b]) & (points <= hi[:, None, b]),
                       axis=-1)
-        keep = keep | inb
-    return keep
+        return keep | inb
+
+    keep = jnp.zeros(points.shape[:2], bool)
+    if nb <= 128:
+        for b in range(nb):
+            keep = in_box(keep, b)
+        return keep
+    return jax.lax.fori_loop(0, nb, lambda b, k: in_box(k, b), keep)

@@ -43,8 +43,13 @@ class Renderer:
         self.mesh = mesh
         self._render = jax.jit(self._render_fn, static_argnames=())
         self._maybe_hit = jax.jit(self._maybe_hit_fn)
-        self._fused = jax.jit(self._fused_fn,
-                              static_argnames=("cap_c", "cap_f"))
+        # prepass/prepass_boxes are STATIC jit args: toggling them on a live
+        # Renderer must recompile, not silently reuse a program traced with
+        # the old pre-pass mode (whose survivor counts it would keep
+        # reporting) — ADVICE r3 item 1
+        self._fused = jax.jit(
+            self._fused_fn,
+            static_argnames=("cap_c", "cap_f", "prepass", "prepass_boxes"))
         self._caps: dict = {}  # ray count -> (cap_c, cap_f) rungs
 
     def _render_fn(self, params, body_params, body_tmpl, rays, P):
@@ -57,7 +62,8 @@ class Renderer:
 
         scene = self.system.scene
 
-        if scene.rows_path_ok and self.system.scene_cfg.deformation_dim == 0 \
+        if self.system.rows_renderable() \
+                and self.system.scene_cfg.deformation_dim == 0 \
                 and self.system.scene_cfg.apperance_dim == 0:
             from animnerf_tpu.render.volume_renderer import render_rays_rows
 
@@ -146,7 +152,8 @@ class Renderer:
         return max(q, -(-int(n * 1.1) // q) * q)
 
     def _fused_fn(self, params, body_params, body_tmpl, rays, P,
-                  cap_c: int, cap_f: int):
+                  cap_c: int, cap_f: int, prepass: str = "boxes",
+                  prepass_boxes: int = 64):
         """The whole compacted frame as ONE program: frame geometry,
         coarse validity pre-pass (min-dist Pallas kernel), on-device
         survivor select, compacted coarse warp+MLP, fine-depth proposal +
@@ -181,13 +188,13 @@ class Renderer:
             xyz = (rays_root[..., None, 0:3]
                    + z[..., None] * rays_root[..., None, 3:6]
                    ).reshape(B, R * K, 3)
-            if self.prepass == "boxes":
+            if prepass == "boxes":
                 # conservative superset of (min dist < thr): exact
                 # end-to-end (kept-but-invalid samples sigma-fill in the
                 # warp) at ~1/30 the pre-pass cost; survivor counts (and
                 # the caps they drive) run ~1.3-1.6x the exact pass's
                 keep = keep_within_boxes(xyz, box_verts, thr,
-                                         nb=self.prepass_boxes)
+                                         nb=prepass_boxes)
             else:
                 keep = min_vertex_distance(xyz, ctx.verts) < thr
             return keep, jnp.max(jnp.sum(keep, axis=1)).astype(jnp.int32)
@@ -215,6 +222,26 @@ class Renderer:
                            sel_c, warped_c, sel_f, 0.0, None)
         return out, n_c, n_f
 
+    def _fused_call(self, args, cap_c: int, cap_f: int):
+        return self._fused(*args, cap_c=cap_c, cap_f=cap_f,
+                           prepass=self.prepass,
+                           prepass_boxes=self.prepass_boxes)
+
+    def _prime_caps(self, R: int) -> tuple[int, int]:
+        """Initial capacity rungs for an R-ray frame/stream — generous, so
+        one program usually covers every view instead of ratchet-climbing
+        through several whole-program compiles. The 0.18/0.40 fractions were
+        measured with the EXACT min-dist pre-pass (~14% coarse survivors,
+        fine up to ~40% under chaotic untrained depths); the boxes pre-pass
+        keeps ~1.3-1.6x more (its AABB superset), so its prime scales by
+        1.4x — otherwise the first view of a boxes stream usually overflows
+        the rung and pays an extra compile (ADVICE r3 item 2)."""
+        cfg = self.system.renderer_cfg
+        s = 1.4 if self.prepass == "boxes" else 1.0
+        return (self._quantize(int(s * 0.18 * R * cfg.n_coarse)),
+                self._quantize(int(min(s * 0.40, 1.0)
+                                   * R * max(cfg.n_fine, 1))))
+
     def _render_compact(self, params, body_params, body_tmpl,
                         rays: np.ndarray, P: np.ndarray):
         """Compacted render of a whole frame (or the culled active-ray
@@ -224,18 +251,11 @@ class Renderer:
         re-renders exactly at the larger rung."""
         R = rays.shape[0]
         if R not in self._caps:
-            # prime generously (coarse survivors measured ~14% of samples,
-            # fine up to ~40% — fine depths are chaotic under untrained
-            # params): one program usually covers every view of a stream,
-            # instead of ratchet-climbing through several compiles
-            cfg0 = self.system.renderer_cfg
-            self._caps[R] = (self._quantize(int(0.18 * R * cfg0.n_coarse)),
-                             self._quantize(int(0.40 * R * max(cfg0.n_fine,
-                                                               1))))
+            self._caps[R] = self._prime_caps(R)
         cap_c, cap_f = self._caps[R]
         args = (params, body_params, body_tmpl,
                 jnp.asarray(rays)[None], jnp.asarray(P))
-        first = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
+        first = self._fused_call(args, cap_c, cap_f)
         img, mask, depth, _, _ = self._fetch_ratchet(
             first, (cap_c, cap_f), args, R)
         return np.asarray(img), np.asarray(mask), np.asarray(depth)
@@ -270,7 +290,7 @@ class Renderer:
             cap_c = max(self._caps[R][0], cap_c, self._quantize(i_c))
             cap_f = max(self._caps[R][1], cap_f, self._quantize(i_f))
             self._caps[R] = (cap_c, cap_f)
-            out, n_c, n_f = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
+            out, n_c, n_f = self._fused_call(args, cap_c, cap_f)
 
     def _maybe_hit_fn(self, body_params, body_tmpl, rays, P):
         """(B, R) bool: could any sample of this ray be within
@@ -485,13 +505,11 @@ class Renderer:
                 if pad else active
             R = len(act)
             if R not in self._caps:
-                self._caps[R] = (
-                    self._quantize(int(0.18 * R * cfg.n_coarse)),
-                    self._quantize(int(0.40 * R * max(cfg.n_fine, 1))))
+                self._caps[R] = self._prime_caps(R)
             cap_c, cap_f = self._caps[R]
             args = (params, f["body_params"], f["body_tmpl"],
                     jnp.asarray(f["rays"][act])[None], jnp.asarray(P))
-            first = self._fused(*args, cap_c=cap_c, cap_f=cap_f)
+            first = self._fused_call(args, cap_c, cap_f)
             pending.append((i, first, (cap_c, cap_f), args, active, fars, R))
 
         def finalize(entry):

@@ -189,6 +189,14 @@ class AnimNeRFSystem:
                 a_code = codes[:, dd:dd + self.cfg.apperance_dim]
         return d_code, a_code
 
+    def rows_renderable(self) -> bool:
+        """The transposed pipeline pads the merged per-ray sample set to the
+        lane shuffle's 128 lanes (render_rays_rows); configs with more total
+        samples/ray (reference YAMLs allow it) must take render_rays_split."""
+        r = self.renderer_cfg
+        return (self.scene.rows_path_ok
+                and r.n_coarse + r.n_fine + r.n_fine_depth <= 128)
+
     def render(self, params: dict, body_params: dict,
                body_params_template: dict, rays: jax.Array,
                frame_idx: Optional[jax.Array] = None, perturb: float = 0.0,
@@ -199,7 +207,7 @@ class AnimNeRFSystem:
         rays_root = rays_to_root_frame(ctx, rays)
         d_code, a_code = self._codes(params, frame_idx)
 
-        if d_code is None and a_code is None and self.scene.rows_path_ok:
+        if d_code is None and a_code is None and self.rows_renderable():
             # transposed pipeline: samples on lanes from warp kernel to
             # fused MLP, fine merge-sort as a native lane shuffle
             from animnerf_tpu.render.volume_renderer import render_rays_rows

@@ -14,17 +14,24 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: shell exports axon (TPU)
 
-# Persistent compilation cache: this box is single-core and XLA compiles
-# dominate test wall-clock; cache across sessions.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
-
 import jax  # noqa: E402
 
 # The axon sitecustomize force-sets jax_platforms="axon,cpu" (TPU tunnel)
 # regardless of env; override back to CPU for the test mesh.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: this box is single-core and XLA compiles
+# dominate test wall-clock; cache across sessions. MUST go through
+# jax.config.update, not env vars: the axon sitecustomize imports jax at
+# interpreter start, so jax captures its env-var config defaults BEFORE this
+# conftest runs — JAX_COMPILATION_CACHE_DIR set here was silently ignored
+# (the round-3 suite re-paid every CPU compile; VERDICT r3 weak item 4).
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            "/root/repo/.jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

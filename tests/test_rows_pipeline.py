@@ -125,6 +125,45 @@ def test_rows_render_gradients_match():
         assert err < 5e-3, (jax.tree_util.keystr(path), err)
 
 
+def test_rows_path_gated_above_128_samples():
+    """n_samples + n_importance + n_depth > 128 exceeds the lane shuffle's
+    128-lane pad (render_rays_rows asserts K <= 128): such configs — which
+    reference YAMLs permit — must fall back to render_rays_split instead of
+    crashing (VERDICT r3 ask 6)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_parallel import _tiny_setup
+
+    from animnerf_tpu.models.body_params import (
+        batch_params_from_data,
+        init_body_params,
+        lookup_body_params,
+    )
+    from animnerf_tpu.training.system import AnimNeRFSystem
+
+    cfg, system, num_joints, batch = _tiny_setup(B=2, n_rays=8)
+    cfg.n_samples = 96
+    cfg.n_importance = 64  # 160 total samples/ray
+    system = AnimNeRFSystem(cfg, system.body_model)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = system.init_params(
+        jax.random.PRNGKey(0),
+        init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1)))
+    bp = lookup_body_params(params["body_params"], batch["frame_idx"])
+    btm = batch_params_from_data(batch, cfg.model_type, template=True)
+
+    with rows_path_forced():
+        system.scene.__dict__["use_fused_mlp"] = True
+        assert system.scene.rows_path_ok          # kernels are available...
+        assert not system.rows_renderable()       # ...but K > 128 gates rows
+        out, _ = system.render(params, bp, btm, batch["rays"],
+                               perturb=0.0, key=jax.random.PRNGKey(1))
+    system.scene.__dict__.pop("use_fused_mlp", None)
+    assert out["rgbs_fine"].shape == (2, 8, 3)
+    assert np.isfinite(np.asarray(out["rgbs_fine"])).all()
+
+
 @pytest.mark.parametrize("over", [dict(share_fine=True),
                                   dict(n_depth=2)])
 def test_rows_render_matches_standard_variants(over):
