@@ -488,6 +488,16 @@ class CompactTrainer:
 
     Exactness (bit-equal loss, gradients to float reduction order) vs the
     dense step is tested in tests/test_compact_train.py.
+
+    Status: documented OPT-IN, not the default. Measured on the real chip
+    on both the blob rig (round 2: 30.2k vs 37.6k rays/s dense) and the
+    surface rig (round 4, tools/bench_surface.py: 30.6k vs 66.3k dense) —
+    the reference's fixed near=0.1/far=10 ray bounds keep ~36% of coarse
+    samples in-shell, so the select/scatter overhead outweighs the skipped
+    warp+MLP work in every regime this workload actually has. Kept (unlike
+    tile_compact/knn_cluster, deleted) because it is the tested
+    training-side twin of the inference compaction engine and wins when a
+    workload is genuinely sparse (tight masks, small dis_threshold).
     """
 
     def __init__(self, system: AnimNeRFSystem,

@@ -1,18 +1,21 @@
 """Surface-rig measurements: the shelved geometry ops in their intended regime.
 
 Round-2 shelved two ops after measuring them on the volumetric blob rig
-(PERF.md): the two-stage cluster-pruned kNN (ops/knn_cluster.py) and the
-sample-compacted trainer. Both were built for the regime real captures
-live in — a 2-manifold body (tight 2-D vertex clusters) seen through
-patch-coherent camera rays, where ~90% of coarse samples are off-body.
-The blob rig has neither property (38% coarse survivors, random vertex
-order), so the negative results were inconclusive (VERDICT r2 ask 4).
+(PERF.md): the two-stage cluster-pruned kNN (since removed; see PERF.md
+round 4) and the sample-compacted trainer. Both were built for the regime
+real captures live in — a 2-manifold body (tight 2-D vertex clusters) seen
+through patch-coherent camera rays. Round 4 ran this tool on the real
+chip: the surface rig keeps ~36% of coarse samples (the reference's fixed
+near=0.1/far=10 bounds, anim_nerf_dataset.py:211, put most of every
+foreground ray inside the dis_threshold shell), dense beat compact 66.3k
+vs 30.6k rays/s, and the brute kNN beat the cluster variant 47 vs 126 ms —
+so the cluster op was deleted and CompactTrainer stays a documented opt-in.
 
 This tool measures, on the surface rig (data/synthetic.py make_rig
 surface=True) with foreground_pixel-style patch rays:
-  1. coarse/fine in-shell survivor fractions,
+  1. coarse in-shell survivor fraction,
   2. dense vs compacted train-step throughput,
-  3. brute-force vs two-stage cluster kNN on the train-step point set.
+  3. brute-force kNN latency on the train-step point set.
 
 Usage: python tools/bench_surface.py   (real chip; one JSON line per probe)
 """
@@ -171,8 +174,9 @@ def main() -> None:
     compact = system.make_compact_trainer(tx, pipelined=True)
     run(compact.step, state0, "compact")
 
-    # ---- kNN: brute vs two-stage cluster on the real point set
-    from animnerf_tpu.ops.knn_cluster import knn_two_stage
+    # ---- kNN timing on the real point set (the two-stage cluster probe
+    # was removed with ops/knn_cluster.py after it measured 126 ms vs the
+    # brute kernel's 47 ms on this very rig — PERF.md round 4)
     from animnerf_tpu.ops.knn_pallas import knn_pallas
 
     bp = lookup_body_params(state0.params["body_params"],
@@ -194,8 +198,6 @@ def main() -> None:
 
     for name, fn in (
         ("brute", lambda p: knn_pallas(p, ctx.verts, k=4, packed=True)),
-        ("cluster", lambda p: knn_two_stage(p, ctx.verts, k=4,
-                                            thr=cfg.dis_threshold)),
     ):
         o = fn(pts_sets[-1])
         jax.block_until_ready(o)
