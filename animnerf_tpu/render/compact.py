@@ -51,11 +51,25 @@ def select_indices(keep: jax.Array, cap: int) -> jax.Array:
     (Padding with 0 was a bug: when a row's flat sample 0 was a real
     survivor, the duplicate scatter writes were forward-exact but the
     .at[].set VJP routed the full cotangent to EVERY duplicate, scaling
-    sample 0's gradient by ~the pad count.)"""
+    sample 0's gradient by ~the pad count.)
+
+    Implemented as an s32 key sort rather than jnp.nonzero(size=cap):
+    where(keep, iota, N) sorted ascending lists the survivor indices in
+    flat order, then every N-fill — identical output, but XLA's TPU sort
+    of s32 keys measured ~10 ms at 6M rows where nonzero's cumsum/
+    partition fusions cost ~110 ms/frame at 512^2 (xprof, round 4)."""
     n = keep.shape[1]
-    return jax.vmap(
-        lambda row: jnp.nonzero(row, size=cap, fill_value=n)[0]
-    )(keep).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1)
+    keys = jnp.where(keep, iota, jnp.int32(n))
+    if keep.shape[0] == 1:
+        # flat 1-D sort: XLA keeps the linear T(1024) layout (the (1, N)
+        # axis-1 sort picks T(1,128) and runs ~8x slower at 8M rows)
+        sel = jnp.sort(keys.reshape(-1)).reshape(keys.shape)
+    else:
+        sel = jnp.sort(keys, axis=1)
+    if cap <= n:
+        return jax.lax.slice_in_dim(sel, 0, cap, axis=1)
+    return jnp.pad(sel, ((0, 0), (0, cap - n)), constant_values=n)
 
 
 def _flat_scatter_indices(sel: jax.Array, n: int) -> jax.Array:
@@ -79,35 +93,63 @@ def gather_samples(rays: jax.Array, z_flat: jax.Array, sel: jax.Array,
     return xyz, rays_sel[..., 3:6]
 
 
-def scatter_dense(rgb: jax.Array, sigma: jax.Array, sel: jax.Array,
-                  R: int, K: int):
+def _scatter_1d(vals: jax.Array, flat: jax.Array, n: int, fill):
+    """1-D scatter of (M,) vals at (M,) flat indices into an (n,)-grid.
+
+    Multi-channel row scatters into tiled (x, 128) layouts read-modify-
+    write partial tiles — the (12.6M, 3) rgb scatter of the 512^2 fused
+    render measured 483 ms (xprof, round 4). The SAME rows scattered as
+    independent 1-D ops into linear T(1024) layouts cost ~30 ms each, so
+    every dense fill here is built channel-by-channel."""
+    base = jnp.full((n,), fill, vals.dtype) if fill != 0 \
+        else jnp.zeros((n,), vals.dtype)
+    return base.at[flat].set(vals, mode="drop")
+
+
+def scatter_dense(rgb: Optional[jax.Array], sigma: jax.Array,
+                  sel: jax.Array, R: int, K: int):
     """Scatter compacted (B, cap, ...) rgb/sigma into dense (B, R, K[,3])
-    grids with the SIGMA_OUTSIDE / zero fill of the dense validity mask."""
+    grids with the SIGMA_OUTSIDE / zero fill of the dense validity mask.
+    rgb=None skips the rgb grid (sigma-only fill for weight-only
+    composites); returns (rgb_d | None, sigma_d)."""
     B = sel.shape[0]
     flat = _flat_scatter_indices(sel, R * K)
-    sigma_d = jnp.full((B * R * K,), SIGMA_OUTSIDE, sigma.dtype)
-    sigma_d = sigma_d.at[flat].set(sigma.reshape(-1),
-                                   mode="drop").reshape(B, R, K)
-    rgb_d = jnp.zeros((B * R * K, 3), rgb.dtype)
-    rgb_d = rgb_d.at[flat].set(rgb.reshape(-1, 3),
-                               mode="drop").reshape(B, R, K, 3)
+    sigma_d = _scatter_1d(sigma.reshape(-1), flat, B * R * K,
+                          SIGMA_OUTSIDE).reshape(B, R, K)
+    if rgb is None:
+        return None, sigma_d
+    rgb_d = jnp.stack(
+        [_scatter_1d(rgb[..., c].reshape(-1), flat, B * R * K, 0)
+         for c in range(3)], axis=-1).reshape(B, R, K, 3)
     return rgb_d, sigma_d
 
 
 def compact_coarse(cfg: RendererConfig, warp_fn, field_fn, rays: jax.Array,
                    z_c: jax.Array, sel_c: jax.Array, perturb: float,
-                   k_noise: Optional[jax.Array]):
+                   k_noise: Optional[jax.Array], need_rgb: bool = True):
     """Coarse pass on compacted samples; dense composite.
 
     Returns (out dict, weights (B, R, Kc), warped_sel) where warped_sel is
     the compacted (cano, viewdir, valid) for reuse in the fine pass (the
-    dense renderer's warp-dedup, volume_renderer.py:192-199)."""
+    dense renderer's warp-dedup, volume_renderer.py:192-199).
+
+    need_rgb=False skips the rgb fill and composite sum — when a fine pass
+    follows, the coarse composite exists only to feed `weights` into the
+    importance sampler, and the coarse image is discarded (reference
+    novel_view.py:100-104 reads the *_fine keys); out is then None."""
+    from animnerf_tpu.render.volume_renderer import composite_weights
+
     B, R, Kc = z_c.shape
     xyz, vd = gather_samples(rays, z_c.reshape(B, -1), sel_c, Kc)
     cano, vd2, valid = warp_fn(xyz, vd)
     if vd2 is None:
         vd2 = vd
     rgb, sigma = field_fn(cano, vd2, valid, False)
+    if not need_rgb:
+        _, sigma_d = scatter_dense(None, sigma[..., 0], sel_c, R, Kc)
+        weights, _ = composite_weights(cfg, sigma_d, rays, z_c, perturb,
+                                       k_noise)
+        return None, weights, (cano, vd2, valid)
     rgb_d, sigma_d = scatter_dense(rgb, sigma[..., 0], sel_c, R, Kc)
     weights, rgb_c, depth_c, alpha_c = composite(
         cfg, rgb_d, sigma_d, rays, z_c, perturb, k_noise)
@@ -143,9 +185,41 @@ def compact_fine(cfg: RendererConfig, warp_fn, field_fn, rays: jax.Array,
     idx_c = (sel_c // Kc) * Kall + (sel_c % Kc)
     idx_f = (sel_f // Kf) * Kall + Kc + (sel_f % Kf)
     sel_all = jnp.concatenate([idx_c, idx_f], axis=1)
-    rgb_d, sigma_d = scatter_dense(rgb, sigma[..., 0], sel_all, R, Kall)
-
     z_all = jnp.concatenate([z_c, z_f], axis=-1)
+
+    if Kall <= 128:
+        # lane-shuffle merge: the channel-leading [r|g|b|sigma|z] payload
+        # rides the 1-D channel scatters straight into the per-ray lane
+        # permutation (ops/sort_lanes.py) — the point-major (B, R, Kall, 5)
+        # sort gather this replaces measured 176 ms/frame at 512^2. Depth
+        # pads at +inf sort LAST and stable argsort keeps the concat order
+        # on ties, so rows [:Kall] are exactly sort_payload's permutation.
+        from animnerf_tpu.ops.sort_lanes import permute_lanes
+        from animnerf_tpu.render.volume_renderer import composite_rows
+
+        flat = _flat_scatter_indices(sel_all, R * Kall)
+        n = sel_all.shape[0] * R * Kall
+        rows = [_scatter_1d(rgb[..., c].reshape(-1), flat, n, 0)
+                for c in range(3)]
+        rows.append(_scatter_1d(sigma[..., 0].reshape(-1), flat, n,
+                                SIGMA_OUTSIDE))
+        B = sel_all.shape[0]
+        pay = jnp.stack([r.reshape(B, R, Kall) for r in rows]
+                        + [z_all.astype(rows[0].dtype)], axis=1)
+        padK = 128 - Kall
+        z_pad = jnp.pad(z_all, ((0, 0), (0, 0), (0, padK)),
+                        constant_values=jnp.inf)
+        pay = jnp.pad(pay, ((0, 0), (0, 0), (0, 0), (0, padK)))
+        order = jnp.argsort(z_pad, axis=-1).astype(jnp.int32)
+        inv = jnp.argsort(order, axis=-1).astype(jnp.int32)
+        sp = permute_lanes(pay.astype(jnp.float32), order, inv)[..., :Kall]
+        sp = sp.astype(pay.dtype)
+        z_sorted = sp[:, 4]
+        _, rgb_f, depth_f, alpha_f = composite_rows(
+            cfg, sp, rays, z_sorted, perturb, k_noise)
+        return {"rgbs": rgb_f, "alphas": alpha_f, "depths": depth_f}
+
+    rgb_d, sigma_d = scatter_dense(rgb, sigma[..., 0], sel_all, R, Kall)
     z_sorted, (sigma_s, rgb_s) = sort_payload(
         z_all, [sigma_d[..., None], rgb_d])
     _, rgb_f, depth_f, alpha_f = composite(
@@ -164,9 +238,10 @@ def scatter_warped(warped_c, sel_c: jax.Array, R: int, K: int):
     flat = _flat_scatter_indices(sel_c, R * K)
 
     def scat(t, C):
-        d = jnp.zeros((B * R * K, C), t.dtype)
-        return d.at[flat].set(t.reshape(-1, C),
-                              mode="drop").reshape(B, R, K, C)
+        # per-channel 1-D scatters (see _scatter_1d for why)
+        return jnp.stack(
+            [_scatter_1d(t.reshape(-1, C)[:, c], flat, B * R * K, 0)
+             for c in range(C)], axis=-1).reshape(B, R, K, C)
 
     cano_d = scat(cano, 3)
     vd_d = scat(vd, 3)

@@ -35,6 +35,21 @@ def turntable_rotation(i: int, n_views: int, angle_deg: float = 0.0) -> np.ndarr
     return P
 
 
+def _pad_ray_ids(maybe: np.ndarray, active: np.ndarray,
+                 pad: int) -> np.ndarray:
+    """`pad` ray indices for shape-quantum padding of the culled active
+    set. Padded slots' outputs are discarded, so any valid index is exact;
+    INACTIVE rays are free (zero in-shell samples -> no kNN/MLP survivors),
+    whereas duplicating an active (body-hitting) ray pays its full warp +
+    field cost `pad` times over."""
+    if pad == 0:
+        return active[:0]
+    inactive = np.nonzero(~maybe)[0]
+    if len(inactive) == 0:  # body fills the frame: fall back to active rays
+        return np.repeat(active[-1:], pad)
+    return np.resize(inactive, pad)
+
+
 class Renderer:
     """Caches the jitted render program across frames/views."""
 
@@ -192,7 +207,10 @@ class Renderer:
                 # conservative superset of (min dist < thr): exact
                 # end-to-end (kept-but-invalid samples sigma-fill in the
                 # warp) at ~1/30 the pre-pass cost; survivor counts (and
-                # the caps they drive) run ~1.3-1.6x the exact pass's
+                # the caps they drive) run ~1.3-1.6x the exact pass's.
+                # (A centroid+radius sphere flavor was measured WORSE —
+                # 47% vs 32% coarse survivors: Morton chunks are
+                # elongated, per-axis AABB extents beat one radius.)
                 keep = keep_within_boxes(xyz, box_verts, thr,
                                          nb=prepass_boxes)
             else:
@@ -209,8 +227,11 @@ class Renderer:
             return scene.field_points(params["anim_nerf"], xyz, viewdir,
                                       valid, use_fine)
 
+        # when a fine pass follows, only `weights` is consumed from the
+        # coarse composite — skip its rgb fill + sum (need_rgb=False)
         out, weights, warped_c = compact_coarse(
-            cfg, warp_fn, field_fn, rays_root, z_c, sel_c, 0.0, None)
+            cfg, warp_fn, field_fn, rays_root, z_c, sel_c, 0.0, None,
+            need_rgb=(cfg.n_fine <= 0))
         if cfg.n_fine <= 0:
             return out, n_c, jnp.int32(0)
 
@@ -343,16 +364,21 @@ class Renderer:
 
     def render_frame(self, params, body_params, body_tmpl, rays: np.ndarray,
                      P: Optional[np.ndarray] = None,
-                     img_wh: Optional[tuple[int, int]] = None):
-        """rays (R, 8) -> dict with img (H,W,3), mask (H,W), depth (H,W)."""
+                     img_wh: Optional[tuple[int, int]] = None,
+                     _cull: bool = True):
+        """rays (R, 8) -> dict with img (H,W,3), mask (H,W), depth (H,W).
+
+        _cull is internal: the culled-active-set recursion passes False so
+        a padded set (which contains INACTIVE padding rays by design, see
+        _pad_ray_ids) is rendered as-is instead of re-culling forever."""
         if P is None:
             P = np.eye(4, dtype=np.float32)
         n = rays.shape[0]
         cap = self.max_rays_per_call
 
         cfg = self.system.renderer_cfg
-        can_cull = (self.cull_rays and self.mesh is None and n > cap
-                    and self.system.scene_cfg.use_unpose
+        can_cull = (_cull and self.cull_rays and self.mesh is None
+                    and n > cap and self.system.scene_cfg.use_unpose
                     and cfg.n_fine_depth == 0)
         if can_cull:
             maybe, fars = jax.device_get(self._maybe_hit(
@@ -373,17 +399,20 @@ class Renderer:
                     # pad to a coarse quantum: under the compact renderer a
                     # new active-ray count compiles a whole new fused
                     # program, so per-view counts must collapse onto ONE
-                    # shape (the padding duplicates the last active ray —
-                    # its few in-shell samples recompute, which is exact
-                    # and adds ~% of work, far cheaper than a recompile)
-                    quantum = 65536 if self._compaction_applicable() \
+                    # shape. Padded outputs are discarded, so ANY ray index
+                    # is exact — pad with INACTIVE (body-missing) rays,
+                    # which contribute zero in-shell samples: duplicating
+                    # the last ACTIVE ray instead measured ~45% fake
+                    # survivors at 512^2 (43k copies of a body-hitting ray)
+                    quantum = 32768 if self._compaction_applicable() \
                         else 8192
                     pad = (-len(active)) % quantum
                     act = np.concatenate(
-                        [active, np.repeat(active[-1:], pad)]) \
+                        [active, _pad_ray_ids(maybe, active, pad)]) \
                         if pad else active
                     ai, am, ad = self.render_frame(
-                        params, body_params, body_tmpl, rays[act], P)
+                        params, body_params, body_tmpl, rays[act], P,
+                        _cull=False)
                     img[active] = ai[:len(active)]
                     mask[active] = am[:len(active)]
                     depth[active] = ad[:len(active)]
@@ -399,7 +428,8 @@ class Renderer:
         compact_cap = cap * 8 if self._compaction_applicable() else cap
         if self.mesh is None and n > compact_cap:
             parts = [self.render_frame(params, body_params, body_tmpl,
-                                       rays[i:i + compact_cap], P)
+                                       rays[i:i + compact_cap], P,
+                                       _cull=_cull)
                      for i in range(0, n, compact_cap)]
             img = np.concatenate([p[0] for p in parts])
             mask = np.concatenate([p[1] for p in parts])
@@ -474,7 +504,7 @@ class Renderer:
             return
 
         cfg = self.system.renderer_cfg
-        quantum = 65536
+        quantum = 32768
         mh = [None] * n
         pending: list = []  # (frame_i, first_out, caps_used, args, active, fars, R_act)
         history: dict = {}  # R_act -> list of recent (n_c, n_f)
@@ -501,7 +531,7 @@ class Renderer:
                 pending.append((i, None, None, None, active, fars, 0))
                 return
             pad = (-len(active)) % quantum
-            act = np.concatenate([active, np.repeat(active[-1:], pad)]) \
+            act = np.concatenate([active, _pad_ray_ids(maybe, active, pad)]) \
                 if pad else active
             R = len(act)
             if R not in self._caps:

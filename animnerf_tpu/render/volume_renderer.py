@@ -98,11 +98,30 @@ def sample_fine(cfg: RendererConfig, bins: jax.Array, weights: jax.Array,
 
     # pack [cdf | bins] so each bound needs ONE gather, not two — these
     # 1-D gathers are latency-bound (~constant cost per op, not per byte)
-    cb = jnp.stack([cdf, bins], axis=-1)  # (B, R, Kc-1, 2)
-    lo = jnp.take_along_axis(cb, below[..., None], axis=-2)
-    hi = jnp.take_along_axis(cb, above[..., None], axis=-2)
-    cdf_lo, bin_lo = lo[..., 0], lo[..., 1]
-    cdf_hi, bin_hi = hi[..., 0], hi[..., 1]
+    nbins = cdf.shape[-1]
+    from animnerf_tpu.ops.sort_lanes import LANES, gather_lanes
+    from animnerf_tpu.utils.platform import on_tpu
+
+    if on_tpu() and nbins <= LANES and Kf <= LANES:
+        # per-ray LANE gathers (tpu.dynamic_gather) instead of two
+        # point-major (B*R*Kf, 2) strided gathers (28 ms each at 4.2M
+        # rows, 512^2 xprof). gather_lanes is stop-gradient — matching
+        # every caller, which stop-gradients the fine depths anyway
+        # (the reference's fine z is detached too: its weights are
+        # .detach()ed and z_vals feed a no-grad sort, volume_rendering.py
+        # :195-207)
+        pay = jnp.stack([cdf, bins], axis=1)            # (B, 2, R, nbins)
+        lo = gather_lanes(pay, below.astype(jnp.int32))
+        hi = gather_lanes(pay, above.astype(jnp.int32))
+        cdf_lo, bin_lo = lo[:, 0], lo[:, 1]
+        cdf_hi, bin_hi = hi[:, 0], hi[:, 1]
+        u = jax.lax.stop_gradient(u)
+    else:
+        cb = jnp.stack([cdf, bins], axis=-1)  # (B, R, Kc-1, 2)
+        lo = jnp.take_along_axis(cb, below[..., None], axis=-2)
+        hi = jnp.take_along_axis(cb, above[..., None], axis=-2)
+        cdf_lo, bin_lo = lo[..., 0], lo[..., 1]
+        cdf_hi, bin_hi = hi[..., 0], hi[..., 1]
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)
