@@ -76,6 +76,7 @@ def test_cli_novel_view(trained):
     assert os.path.exists(os.path.join(out, "images", "000001.png"))
 
 
+@pytest.mark.slow
 def test_cli_novel_view_template(trained):
     cfg, ckpt, tmp = trained
     from animnerf_tpu.cli.novel_view import main
@@ -96,6 +97,7 @@ def test_cli_extract_mesh(trained):
     assert os.path.exists(os.path.join(out, "smpl.obj"))
 
 
+@pytest.mark.slow
 def test_cli_novel_pose(trained):
     cfg, ckpt, tmp = trained
     from animnerf_tpu.cli.novel_pose import main

@@ -31,6 +31,7 @@ def test_query_inside_masks_rgb():
     assert (rgb[0, [0, 2, 4, 5]] != 0).any()
 
 
+@pytest.mark.slow
 def test_n_fine_depth_sampling():
     """depth-guided fine samples (reference volume_rendering.py:99-111)."""
     cfg = RendererConfig(n_coarse=16, n_fine=0, n_fine_depth=8,

@@ -364,6 +364,7 @@ def test_keep_within_boxes_superset_of_exact():
     assert keep.mean() < 0.8
 
 
+@pytest.mark.slow
 def test_fused_prepass_boxes_matches_exact(tmp_path):
     """The fused compacted render must produce identical images with the
     box pre-pass and the exact min-dist pre-pass (the box mask is a

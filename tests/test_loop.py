@@ -111,6 +111,7 @@ def test_fit_resume_refine(ds_root, tmp_path):
     assert np.isfinite(means["psnr"])
 
 
+@pytest.mark.slow
 def test_latent_codes_and_sharefine_variants(ds_root, tmp_path):
     """deformation/appearance codes + share_fine + use_view paths compile
     and train one step with finite loss; latent codes receive updates."""
@@ -144,6 +145,7 @@ def test_latent_codes_and_sharefine_variants(ds_root, tmp_path):
     assert not np.allclose(codes_before, codes_after)
 
 
+@pytest.mark.slow
 def test_use_deformation_path(ds_root, tmp_path):
     """DeRF deformation branch trains a step with finite loss."""
     from animnerf_tpu.data.dataset import AnimNeRFDataset, Loader

@@ -125,6 +125,7 @@ def test_rows_render_gradients_match():
         assert err < 5e-3, (jax.tree_util.keystr(path), err)
 
 
+@pytest.mark.slow
 def test_rows_path_gated_above_128_samples():
     """n_samples + n_importance + n_depth > 128 exceeds the lane shuffle's
     128-lane pad (render_rays_rows asserts K <= 128): such configs — which
