@@ -81,6 +81,64 @@ def transform_points(T: jax.Array, p: jax.Array, directional: bool = False) -> j
     return out
 
 
+# --- flat-16 affine helpers -------------------------------------------------
+# Per-vertex 4x4 transforms as SIXTEEN (B, V) channel arrays instead of
+# (B, V, 4, 4) tensors: the tiny trailing (4, 4) dims land in (4, 128)/(8,
+# 128) tiles at 3-12% lane utilisation, so every matmul/inverse on that
+# shape moves ~8-32x its logical bytes (measured ~27 ms/train-step of
+# "convolution fusion" HLOs on the V=6890, B=16 flagship). Channel form
+# keeps (B, V) arrays (V on lanes, fully dense) and lets XLA fuse the whole
+# compose -> inverse -> compose chain of prepare_frame elementwise.
+
+
+def _t16_of(T4: jax.Array) -> list:
+    """(..., 4, 4) -> 16 channel arrays (...) via the flat view (one padded
+    read of the 4x4 layout; cancels entirely when the producer was flat)."""
+    flat = T4.reshape(*T4.shape[:-2], 16)
+    return [flat[..., c] for c in range(16)]
+
+
+def _compose16(a: list, b: list) -> list:
+    """c = a @ b on 16-channel affine transforms (rows 3 == [0,0,0,1])."""
+    c: list = [None] * 16
+    for i in range(3):
+        for j in range(4):
+            s = (a[4 * i + 0] * b[j] + a[4 * i + 1] * b[4 + j]
+                 + a[4 * i + 2] * b[8 + j])
+            if j == 3:
+                s = s + a[4 * i + 3]
+            c[4 * i + j] = s
+    zero = jnp.zeros_like(c[0])
+    c[12] = c[13] = c[14] = zero
+    c[15] = jnp.ones_like(c[0])
+    return c
+
+
+def _inverse16(t: list) -> list:
+    """affine_inverse on 16-channel transforms (adjugate/determinant — LBS
+    blends are affine, not rigid)."""
+    a, b, c0, tx = t[0], t[1], t[2], t[3]
+    d, e, f, ty = t[4], t[5], t[6], t[7]
+    g, h, i, tz = t[8], t[9], t[10], t[11]
+    A = e * i - f * h
+    B = c0 * h - b * i
+    C = b * f - c0 * e
+    D = f * g - d * i
+    E = a * i - c0 * g
+    F = c0 * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    s = 1.0 / (a * A + b * D + c0 * G)
+    A, B, C, D, E, F, G, H, I = (A * s, B * s, C * s, D * s, E * s, F * s,
+                                 G * s, H * s, I * s)
+    zero = jnp.zeros_like(a)
+    return [A, B, C, -(A * tx + B * ty + C * tz),
+            D, E, F, -(D * tx + E * ty + F * tz),
+            G, H, I, -(G * tx + H * ty + I * tz),
+            zero, zero, zero, jnp.ones_like(a)]
+
+
 @struct.dataclass
 class FrameContext:
     """Everything the renderer needs about one (batch of) observed frame(s),
@@ -98,7 +156,8 @@ class FrameContext:
 
     verts: jax.Array            # (B, V, 3) observed verts, root frame
     joints: jax.Array           # (B, J, 3) observed joints, root frame
-    ober2cano: jax.Array        # (B, V, 4, 4) per-vertex obs->canonical
+    ober2cano: jax.Array        # (B, V, 16) per-vertex obs->canonical,
+    #                             row-major flat 4x4 (see _t16_of)
     root_inv: jax.Array         # (B, 4, 4) world->root transform
     verts_template: jax.Array   # (B, V, 3) canonical-space template verts
     lbs_weights: jax.Array      # (V, J)
@@ -163,19 +222,23 @@ def prepare_frame(
 
     verts = transform_points(root_inv[:, None], obs.vertices)
     joints = transform_points(root_inv[:, None], obs.joints[:, :J])
-    verts_transform = jnp.matmul(root_inv[:, None], obs.vertices_transform,
-                                 precision=jax.lax.Precision.HIGHEST)
 
     # obs->canonical: template vertex transform composed with the inverse of
     # the (root-frame) observed vertex transform, blendshape deltas folded
-    # into the translation column (reference anim_nerf.py:147-151).
-    inv = affine_inverse(verts_transform)
+    # into the translation column (reference anim_nerf.py:147-151). The
+    # whole compose -> inverse -> compose chain runs in 16-channel form —
+    # (B, V, 4, 4) intermediates lane-pad 8-32x (see _t16_of).
+    vt16 = _compose16(_t16_of(root_inv[:, None]),
+                      _t16_of(obs.vertices_transform))
+    inv16 = _inverse16(vt16)
     delta = (tmpl.shape_offsets - obs.shape_offsets) + (
         tmpl.pose_offsets - obs.pose_offsets
     )
-    inv = inv.at[..., :3, 3].add(delta)
-    ober2cano = jnp.matmul(tmpl.vertices_transform, inv,
-                           precision=jax.lax.Precision.HIGHEST)
+    inv16[3] = inv16[3] + delta[..., 0]
+    inv16[7] = inv16[7] + delta[..., 1]
+    inv16[11] = inv16[11] + delta[..., 2]
+    o2c16 = _compose16(_t16_of(tmpl.vertices_transform), inv16)
+    ober2cano = jnp.stack(o2c16, axis=-1)      # (B, V, 16)
 
     ctx = FrameContext(
         verts=verts,
@@ -216,7 +279,7 @@ def _morton_inputs(ctx: FrameContext) -> tuple[jax.Array, jax.Array]:
     verts_p = jnp.take_along_axis(verts_c, perm[..., None], axis=1)
     table = jnp.concatenate(
         [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
-         ctx.ober2cano.reshape(B, V, 16)], axis=-1)
+         ctx.ober2cano], axis=-1)
     return verts_p, permute_rows(table, perm, inv)
 
 
@@ -272,7 +335,7 @@ def blend_neighbour_transforms(
     # (the single largest train-step cost before — see ops/blend.py).
     table = jnp.concatenate(
         [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
-         ctx.ober2cano.reshape(B, V, 16)], axis=-1)  # (B, V, J+16)
+         ctx.ober2cano], axis=-1)  # (B, V, J+16)
     blended_dist, blended_flat = gather_blend(
         table, dists, idx, J, float(weight_std), float(conf_gate))
     blended_T = blended_flat.reshape(B, N, 4, 4)
@@ -354,7 +417,7 @@ def unpose_with_knn(
 
     table = jnp.concatenate(
         [jnp.broadcast_to(ctx.lbs_weights, (B, V, J)),
-         ctx.ober2cano.reshape(B, V, 16)], axis=-1)  # (B, V, J+16)
+         ctx.ober2cano], axis=-1)  # (B, V, J+16)
 
     if _fused_warp_enabled():
         # one Pallas program: VMEM-resident table, candidate-chunk-pruned

@@ -510,13 +510,26 @@ class Renderer:
         history: dict = {}  # R_act -> list of recent (n_c, n_f)
         shrink_after = 2
 
+        # Host->device transfers over this environment's tunneled chip cost
+        # ~130 ms per round trip; a turntable re-uses ONE ray grid across
+        # every view, so upload it once (8.4 MB at 512^2) and slice the
+        # culled active set ON DEVICE (the per-view upload drops from the
+        # (R, 8) f32 slab to the (R,) s32 index vector).
+        rays_dev_cache: dict = {}
+
+        def rays_dev_of(f):
+            key = id(f["rays"])
+            if key not in rays_dev_cache:
+                rays_dev_cache.clear()  # streams use one grid; keep 1 entry
+                rays_dev_cache[key] = jnp.asarray(f["rays"])
+            return rays_dev_cache[key]
+
         def dispatch_mh(i):
             f = frames[i]
             P = f.get("P")
             P = np.eye(4, dtype=np.float32) if P is None else P
             mh[i] = self._maybe_hit(f["body_params"], f["body_tmpl"],
-                                    jnp.asarray(f["rays"])[None],
-                                    jnp.asarray(P))
+                                    rays_dev_of(f)[None], jnp.asarray(P))
 
         def dispatch_fused(i):
             f = frames[i]
@@ -537,8 +550,9 @@ class Renderer:
             if R not in self._caps:
                 self._caps[R] = self._prime_caps(R)
             cap_c, cap_f = self._caps[R]
+            rays_act = jnp.take(rays_dev_of(f), jnp.asarray(act), axis=0)
             args = (params, f["body_params"], f["body_tmpl"],
-                    jnp.asarray(f["rays"][act])[None], jnp.asarray(P))
+                    rays_act[None], jnp.asarray(P))
             first = self._fused_call(args, cap_c, cap_f)
             pending.append((i, first, (cap_c, cap_f), args, active, fars, R))
 
