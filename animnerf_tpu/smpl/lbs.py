@@ -222,15 +222,23 @@ def lbs(
 
     posed_joints, A = rigid_transform_chain(rot_mats, joints_rest, parents)
 
-    # Per-vertex transform: blend of joint transforms (MXU matmul).
+    # Per-vertex transform: blend of joint transforms (MXU matmul). The
+    # blend runs on FLAT (B, J, 16) -> (B, V, 16) transforms and the
+    # skinning application on its channel slices: a (B, V, 4, 4) operand
+    # tiles the trailing dims at 3-12% lane utilisation (8-32x the bytes;
+    # see models/warp.py flat-16 helpers). The public 4x4 view below is a
+    # boundary reshape that cancels against prepare_frame's flat read.
     W = lbs_weights.astype(A.dtype)  # (V, J)
-    T = jnp.einsum("vj,bjmn->bvmn", W, A, precision=jax.lax.Precision.HIGHEST)  # (B, V, 4, 4)
-
-    verts = (
-        jnp.einsum("bvmn,bvn->bvm", T[..., :3, :3], v_posed,
-                   precision=jax.lax.Precision.HIGHEST)
-        + T[..., :3, 3]
-    )
+    B_, J_ = A.shape[:2]
+    T16 = jnp.einsum("vj,bjc->bvc", W, A.reshape(B_, J_, 16),
+                     precision=jax.lax.Precision.HIGHEST)  # (B, V, 16)
+    t = [T16[..., c] for c in range(12)]
+    px, py, pz = v_posed[..., 0], v_posed[..., 1], v_posed[..., 2]
+    verts = jnp.stack(
+        [t[0] * px + t[1] * py + t[2] * pz + t[3],
+         t[4] * px + t[5] * py + t[6] * pz + t[7],
+         t[8] * px + t[9] * py + t[10] * pz + t[11]], axis=-1)
+    T = T16.reshape(B_, -1, 4, 4)
 
     return LBSOutput(
         vertices=verts,
