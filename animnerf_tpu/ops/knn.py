@@ -185,3 +185,35 @@ def keep_within_boxes(points: jax.Array, verts: jax.Array, thr: float,
             keep = in_box(keep, b)
         return keep
     return jax.lax.fori_loop(0, nb, lambda b, k: in_box(k, b), keep)
+
+
+def keep_rows_within_boxes(xyz_t: jax.Array, verts: jax.Array, thr: float,
+                           nb: int = 64) -> jax.Array:
+    """keep_within_boxes for channel-leading rows: xyz_t (B, C >= 3, N)
+    with [x|y|z|..] channels -> (B, N) bool. Identical boxes and result;
+    the channel form feeds the rows-native pipeline without a point-major
+    (B, N, 3) transpose."""
+    xyz_t = jax.lax.stop_gradient(xyz_t)
+    verts = jax.lax.stop_gradient(verts)
+    B, V = verts.shape[:2]
+    nb = min(nb, V)
+    pad = (-V) % nb
+    vv = jnp.pad(verts, ((0, 0), (0, pad), (0, 0)), mode="edge") if pad \
+        else verts
+    vv = vv.reshape(B, nb, -1, 3)
+    lo = vv.min(axis=2) - thr  # (B, nb, 3)
+    hi = vv.max(axis=2) + thr
+    x, y, z = xyz_t[:, 0], xyz_t[:, 1], xyz_t[:, 2]  # (B, N) each
+
+    def in_box(keep, b):
+        inb = ((x >= lo[:, b, 0:1]) & (x <= hi[:, b, 0:1])
+               & (y >= lo[:, b, 1:2]) & (y <= hi[:, b, 1:2])
+               & (z >= lo[:, b, 2:3]) & (z <= hi[:, b, 2:3]))
+        return keep | inb
+
+    keep = jnp.zeros(x.shape, bool)
+    if nb <= 128:
+        for b in range(nb):
+            keep = in_box(keep, b)
+        return keep
+    return jax.lax.fori_loop(0, nb, lambda b, k: in_box(k, b), keep)

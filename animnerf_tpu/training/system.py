@@ -430,6 +430,70 @@ class AnimNeRFSystem:
                               pipelined=pipelined, sync_every=sync_every,
                               margin=margin)
 
+    # ---------------------------------------- rows-native compacted training
+
+    def rows_compaction_applicable(self) -> bool:
+        """The rows-native compacted step needs BOTH the transposed kernel
+        pipeline (rows_renderable) and the compaction preconditions."""
+        return self.compaction_applicable() and self.rows_renderable()
+
+    def rows_compact_loss_fn(self, params: dict, batch: dict, key: jax.Array,
+                             step: jax.Array, cap_c: int):
+        """Differentiated loss with the coarse pass compacted on the
+        rows-native kernel pipeline (render/compact_rows.py): conservative
+        inflated-AABB pre-pass -> survivor select at `cap_c` -> fused
+        kNN + warp-blend + coarse MLP on survivors only; the fine MLP
+        reuses the compacted coarse rows (unsorted concat, ~71% of the
+        dense merged size) before the lane merge-sort. Loss/gradients
+        match loss_fn exactly (tests/test_compact_rows.py); details carry
+        the survivor count and overflow flag for the RowsCompactTrainer."""
+        from animnerf_tpu.ops.knn import keep_rows_within_boxes
+        from animnerf_tpu.render.compact_rows import render_rays_rows_compact
+
+        c = self.cfg
+        folded = jax.random.fold_in(key, step)
+        keys = prng.elem_keys(folded, batch["rays"].shape[0])
+        k_render, k_loss = prng.split_keys(keys, 2)
+        frame_idx = batch["frame_idx"]
+        if c.optim_body_params:
+            body_params = lookup_body_params(params["body_params"], frame_idx)
+        else:
+            body_params = batch_params_from_data(batch, c.model_type)
+        body_tmpl = batch_params_from_data(batch, c.model_type, template=True)
+        ctx = prepare_frame(self.body_model, body_params, body_tmpl)
+        rays_root = rays_to_root_frame(ctx, batch["rays"])
+
+        thr = self.scene_cfg.dis_threshold
+        box_verts = ctx.verts_morton if ctx.verts_morton is not None \
+            else ctx.verts
+
+        results, n_c = render_rays_rows_compact(
+            self.renderer_cfg,
+            lambda xyz_t: self.scene.warp_rows(ctx, xyz_t),
+            lambda rows, fine: self.scene.field_rows(
+                params["anim_nerf"], rows, fine),
+            rays_root, cap_c,
+            lambda rows: keep_rows_within_boxes(rows, box_verts, thr),
+            perturb=1.0, key=k_render)
+        loss, details = self.compute_loss(
+            params, results, batch["rgbs"], batch["alphas"], ctx, k_loss,
+            fg_points=batch.get("fg_points"),
+            bg_points=batch.get("bg_points"), frame_idx=frame_idx)
+        rgb_key = "rgbs_fine" if "rgbs_fine" in results else "rgbs"
+        details["psnr"] = psnr(results[rgb_key], batch["rgbs"])
+        details["compact_count"] = n_c
+        details["compact_overflow"] = (n_c > cap_c).astype(jnp.int32)
+        return loss, details
+
+    def make_rows_compact_trainer(self, tx: optax.GradientTransformation,
+                                  quantum: int = 4096,
+                                  pipelined: bool = False,
+                                  sync_every: int = 32,
+                                  margin: float = 1.05):
+        return RowsCompactTrainer(self, tx, quantum=quantum,
+                                  pipelined=pipelined,
+                                  sync_every=sync_every, margin=margin)
+
     def make_eval_step(self):
         def eval_step(params: dict, batch: dict):
             c = self.cfg
@@ -522,6 +586,15 @@ class CompactTrainer:
         self._pending: list = []   # (cap_used, count device scalar)
         self._since_sync = 0
 
+    # the capacitated loss (subclasses swap in a different engine) and the
+    # first-step capacity guess (a wrong guess costs one extra compile,
+    # never exactness — the primer reads the count back and re-runs)
+    def _loss_fn(self):
+        return self.system.compact_loss_fn
+
+    def _prime_cap(self, batch: dict) -> int:
+        return self.quantum
+
     def _ladder(self, n: int) -> int:
         """Capacity rung: the smallest multiple of `quantum` >= n. Multiples
         (not a geometric ladder) keep the padding overhead <= quantum while
@@ -534,8 +607,7 @@ class CompactTrainer:
         if cap_c not in self._b:
             def b(state: TrainState, batch: dict, key: jax.Array):
                 grad_fn = jax.value_and_grad(
-                    partial(self.system.compact_loss_fn, cap_c=cap_c),
-                    has_aux=True)
+                    partial(self._loss_fn(), cap_c=cap_c), has_aux=True)
                 (loss, details), grads = grad_fn(
                     state.params, batch, key, state.step)
                 updates, opt_state = self.tx.update(grads, state.opt_state,
@@ -553,9 +625,10 @@ class CompactTrainer:
         key) -> (state, details) contract; `key` is folded by state.step
         internally, like make_train_step)."""
         if self._cap is None:  # prime: one synchronous first step
-            new_state, details = self._b_step(self.quantum)(state, batch, key)
+            cap0 = self._prime_cap(batch)
+            new_state, details = self._b_step(cap0)(state, batch, key)
             n = int(details["compact_count"])
-            if n > self.quantum:
+            if n > cap0:
                 self.overflows += 1
                 new_state, details = self._b_step(self._ladder(n))(
                     state, batch, key)
@@ -596,3 +669,40 @@ class CompactTrainer:
             self._cap = max(self._cap,
                             self._ladder(int(n_max * self.margin)))
         return new_state, details
+
+
+class RowsCompactTrainer(CompactTrainer):
+    """Compacted training on the rows-native kernel pipeline — the fast
+    twin of CompactTrainer (same capacity ladder, sync policies, and
+    exactness contract; see the base class).
+
+    Where the base engine runs the kNN dense (its distances ARE the exact
+    validity test) and compacts only the blend+MLP behind it, this one
+    compacts BEFORE the kNN with the conservative inflated-AABB pre-pass
+    (~1/30 of a kNN sweep) and feeds the fine MLP the already-compacted
+    coarse rows (render/compact_rows.py). Measured keep fractions on the
+    flagship workload: coarse 49% (boxes), merged fine-MLP input 71% —
+    roughly halving the step's kNN + warp-blend + coarse-MLP work.
+    Exactness vs the dense rows step: tests/test_compact_rows.py.
+    """
+
+    def __init__(self, system: AnimNeRFSystem,
+                 tx: optax.GradientTransformation,
+                 quantum: int = 4096, pipelined: bool = False,
+                 sync_every: int = 32, margin: float = 1.05):
+        if not system.rows_compaction_applicable():
+            raise ValueError(
+                "rows-compacted training requires the rows pipeline "
+                "(fused MLP/warp on TPU, K <= 128) plus the compaction "
+                "preconditions (see rows_compaction_applicable)")
+        super().__init__(system, tx, quantum=quantum, pipelined=pipelined,
+                         sync_every=sync_every, margin=margin)
+
+    def _loss_fn(self):
+        return self.system.rows_compact_loss_fn
+
+    def _prime_cap(self, batch: dict) -> int:
+        # measured boxes keep ~49% of coarse samples (+ headroom)
+        r = self.system.renderer_cfg
+        R = batch["rays"].shape[1]
+        return self._ladder(int(0.55 * R * r.n_coarse))

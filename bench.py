@@ -60,7 +60,13 @@ def main() -> None:
     # compacted step's pre-pass+select overhead roughly cancels its warp
     # savings (28.8k vs 30.7k rays/s measured); it wins when survivors are
     # sparse (real capture configs, inference: 7%).
-    if os.environ.get("ANIMNERF_BENCH_COMPACT", "0") == "1":
+    mode = os.environ.get("ANIMNERF_BENCH_COMPACT", "0")
+    if mode == "rows":
+        # rows-native dual compaction (boxes pre-pass before the kNN +
+        # exact merged select before the fine MLP) on the fused kernel
+        # pipeline — see training/system.py::RowsCompactTrainer
+        train_step = system.make_rows_compact_trainer(tx, pipelined=True).step
+    elif mode == "1":
         train_step = system.make_compact_trainer(tx, pipelined=True).step
     else:
         train_step = jax.jit(system.make_train_step(tx), donate_argnums=(0,))

@@ -39,7 +39,12 @@ def capture(out_dir: str, n_steps: int = 6) -> None:
     body_params = init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1))
     state = system.init_state(rng, body_params, steps_per_epoch=100)
     tx = system.make_optimizer(steps_per_epoch=100)
-    train_step = jax.jit(system.make_train_step(tx), donate_argnums=(0,))
+    # ANIMNERF_PROFILE_COMPACT=rows profiles the rows-compacted trainer
+    if os.environ.get("ANIMNERF_PROFILE_COMPACT", "") == "rows":
+        train_step = system.make_rows_compact_trainer(tx,
+                                                      pipelined=True).step
+    else:
+        train_step = jax.jit(system.make_train_step(tx), donate_argnums=(0,))
 
     rng_np = np.random.default_rng(0)
     tmpl = {k: np.array(v) for k, v in params_for(2, B).items()}
