@@ -144,8 +144,13 @@ def get_default_config() -> CfgNode:
             "query_inside": False,
             "white_bkgd": True,
             # --- TPU-specific (new) ---
-            "compute_dtype": "float32",  # 'bfloat16' for the MLP fast path
-            "remat": True,  # rematerialise MLP activations (mem vs +6% speed)
+            # 'auto' resolves per backend at system build (training/system.py):
+            # TPU trains the MLP fast path in bfloat16 (f32 params/geometry)
+            # and skips remat when the step's ray count fits un-rematerialised
+            # in HBM; CPU/GPU resolve to float32 + remat. Set explicitly
+            # ('float32'/'bfloat16', True/False) to pin either.
+            "compute_dtype": "auto",
+            "remat": "auto",
             "fused_mlp": "auto",  # Pallas fused MLP: auto|on|off (TPU only)
             "mesh_shape": (-1,),         # device mesh over the 'data' axis
             "seed": 42,

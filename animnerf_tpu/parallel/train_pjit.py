@@ -85,6 +85,67 @@ def make_sharded_train_step(system: AnimNeRFSystem, tx, mesh: Mesh):
     return jitted, place_state, place_batch
 
 
+def make_sharded_trainer(system: AnimNeRFSystem, tx, mesh: Mesh,
+                         engine: Optional[str] = None):
+    """The product training engine: the fastest EXACT trainer the config
+    supports, sharded over `mesh`'s 'data' axis.
+
+    Selection (engine=None / 'auto'; ANIMNERF_TRAINER overrides):
+      'rows'   — the rows-native compacted trainer (boxes pre-pass before
+                 the kNN + compacted merged fine MLP on the fused kernel
+                 pipeline; loss/grad/SGD-trajectory equal to dense —
+                 tests/test_compact_rows.py, 84.0k vs 66.9k rays/s dense
+                 on-chip, PERF.md round 4). Picked whenever the config
+                 supports it (TPU, kNN unpose, no latent codes, K <= 128).
+      'compact'— the point-major compacted trainer (wins only in sparse-
+                 survivor regimes; opt-in).
+      'dense'  — the single-program dense step (the fallback; also what
+                 non-flagship configs — DeRF, latent codes, K > 128 —
+                 always get).
+
+    Returns (step, place_state, place_batch) with the same contract as
+    make_sharded_train_step; multi-device meshes run each engine under
+    shard_map with gradient pmean over ICI (compacted engines pmax their
+    survivor counts so the host-side capacity ladder sees the worst
+    shard — see training/system.py::CompactTrainer).
+    """
+    import os
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    if engine is None:
+        engine = os.environ.get("ANIMNERF_TRAINER", "auto")
+    if engine == "auto":
+        engine = "rows" if system.rows_compaction_applicable() else "dense"
+    print(f"trainer engine: {engine} "
+          f"(compute_dtype={system.scene_cfg.compute_dtype}, "
+          f"remat={system.scene_cfg.remat}, "
+          f"mesh={int(mesh.devices.size)}dev)", flush=True)
+
+    if engine == "dense":
+        return make_sharded_train_step(system, tx, mesh)
+
+    # pipelined: no per-step host<->device count read-back (this matters on
+    # tunneled/remote chips where a sync costs ~130 ms); counts poll
+    # asynchronously with a capacity margin + overflow ratchet
+    if engine == "rows":
+        trainer = system.make_rows_compact_trainer(tx, pipelined=True,
+                                                   mesh=mesh)
+    elif engine == "compact":
+        trainer = system.make_compact_trainer(tx, pipelined=True, mesh=mesh)
+    else:
+        raise ValueError(f"unknown trainer engine {engine!r}")
+
+    def place_state(state):
+        return jax.device_put(state, rep)
+
+    def place_batch(batch):
+        return jax.device_put(batch, bsh)
+
+    return trainer.step, place_state, place_batch
+
+
 def make_sharded_eval_step(system: AnimNeRFSystem, mesh: Mesh):
     """Full-frame rendering with the *ray* axis sharded: a 512^2 frame is one
     program over n_chips, replacing the reference's chunk loop.

@@ -106,6 +106,10 @@ def render_rays_rows_compact(
     del k_depth  # n_fine_depth unsupported under compaction (trainer gate)
 
     B, R = rays.shape[:2]
+    # compact/expand_channels require cap <= N (the trainer's quantum
+    # ladder can overshoot the dense size on small configs); at cap == N
+    # the "compaction" is a pure permutation and nothing can overflow
+    cap_c = min(cap_c, R * cfg.n_coarse)
     z_coarse = sample_coarse(cfg, rays, perturb, k_coarse)
     Kc = z_coarse.shape[-1]
     rows_c = _rows_from_z(rays, z_coarse)                  # (B, 8, R*Kc)

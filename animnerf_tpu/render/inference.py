@@ -518,11 +518,15 @@ class Renderer:
         rays_dev_cache: dict = {}
 
         def rays_dev_of(f):
-            key = id(f["rays"])
-            if key not in rays_dev_cache:
-                rays_dev_cache.clear()  # streams use one grid; keep 1 entry
-                rays_dev_cache[key] = jnp.asarray(f["rays"])
-            return rays_dev_cache[key]
+            # keyed by the host array OBJECT (not id()): the entry keeps the
+            # host array alive, so CPython can never reuse its id for a
+            # different frame's grid, and reuse is checked with `is`
+            host = f["rays"]
+            cached = rays_dev_cache.get("entry")
+            if cached is None or cached[0] is not host:
+                # streams use one grid; keep 1 entry
+                rays_dev_cache["entry"] = (host, jnp.asarray(host))
+            return rays_dev_cache["entry"][1]
 
         def dispatch_mh(i):
             f = frames[i]

@@ -75,6 +75,12 @@ def sample_fine(cfg: RendererConfig, bins: jax.Array, weights: jax.Array,
 
     bins: (B, R, Kc-1) coarse mid depths; weights: (B, R, Kc-2) interior
     coarse weights. Returns (B, R, Kf).
+
+    Contract: the returned depths are STOP-GRADIENT on every platform (the
+    reference detaches its fine z the same way — weights are .detach()ed
+    and z_vals feed a no-grad sort, volume_rendering.py:195-207). The TPU
+    branch's gather_lanes is inherently non-differentiable, so the return
+    is stop_gradient'd unconditionally to keep platform semantics equal.
     """
     Kf = cfg.n_fine
     w = jax.lax.stop_gradient(weights) + eps
@@ -126,7 +132,7 @@ def sample_fine(cfg: RendererConfig, bins: jax.Array, weights: jax.Array,
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)
     t = (u - cdf_lo) / denom
-    return bin_lo + t * (bin_hi - bin_lo)
+    return jax.lax.stop_gradient(bin_lo + t * (bin_hi - bin_lo))
 
 
 def sample_fine_depth(cfg: RendererConfig, rays: jax.Array, depth: jax.Array,

@@ -29,7 +29,7 @@ from animnerf_tpu.models.body_params import load_body_params_from_dataset
 from animnerf_tpu.parallel.mesh import make_mesh, mesh_for_batch
 from animnerf_tpu.parallel.train_pjit import (
     make_sharded_eval_step,
-    make_sharded_train_step,
+    make_sharded_trainer,
 )
 from animnerf_tpu.training.checkpoints import (
     CheckpointManager,
@@ -126,7 +126,9 @@ def fit(cfg: CfgNode, profile: bool = False) -> str:
         state = load_train_state(cfg.train.ckpt_path, state)
         start_step = int(state.step)
 
-    train_step, place_state, place_batch = make_sharded_train_step(
+    # the fastest EXACT engine this config supports (rows-compacted on
+    # TPU flagship configs, dense otherwise; ANIMNERF_TRAINER overrides)
+    train_step, place_state, place_batch = make_sharded_trainer(
         system, tx, mesh)
     state = place_state(state)
 

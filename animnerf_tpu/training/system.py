@@ -53,6 +53,34 @@ def psnr(pred: jax.Array, target: jax.Array) -> jax.Array:
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
 
 
+def resolve_auto_tpu_opts(c: CfgNode) -> tuple[str, bool]:
+    """Resolve the 'auto' defaults of compute_dtype / remat per backend.
+
+    TPU: the MLP fast path runs in bfloat16 (f32 params and geometry —
+    pixel-level parity vs the plain-f32 XLA path is 72.9 dB PSNR,
+    docs/demo/scale512/parity_onchip.json), and remat is skipped when the
+    step's ray count is at or below the reference workload's 16,384
+    (bf16 activations fit un-rematerialised in 16G HBM at that size; +6%
+    throughput — PERF.md). CPU/GPU: float32 + remat, the conservative
+    reference-shaped path. Explicit config values pass through untouched.
+    """
+    dtype = str(c.get("compute_dtype", "float32"))
+    remat = c.get("remat", True)
+    if dtype == "auto" or remat == "auto":
+        from animnerf_tpu.utils.platform import on_tpu
+
+        tpu = on_tpu()
+        if dtype == "auto":
+            dtype = "bfloat16" if tpu else "float32"
+        if remat == "auto":
+            rays_per_step = (int(c.train.batch_size)
+                             * int(c.train.subsamplesize) ** 2)
+            remat = (rays_per_step > 16384) if tpu else True
+    if isinstance(remat, str):  # CLI opts merge can leave 'false'/'true'
+        remat = remat.lower() in ("true", "1", "yes")
+    return dtype, bool(remat)
+
+
 def _safe_normalize(n: jax.Array, eps: float = 1e-5) -> jax.Array:
     """n / (|n| + eps) with a finite gradient at n == 0.
 
@@ -73,6 +101,7 @@ class AnimNeRFSystem:
     def __post_init__(self):
         c = self.cfg
         use_fine = (c.n_importance > 0) or (c.n_depth > 0)
+        compute_dtype, remat = resolve_auto_tpu_opts(c)
         self.scene_cfg = AnimNeRFConfig(
             freqs_xyz=c.freqs_xyz,
             freqs_dir=c.freqs_dir,
@@ -87,8 +116,8 @@ class AnimNeRFSystem:
             share_fine=c.share_fine,
             dis_threshold=c.dis_threshold,
             query_inside=c.query_inside,
-            compute_dtype=c.get("compute_dtype", "float32"),
-            remat=bool(c.get("remat", True)),
+            compute_dtype=compute_dtype,
+            remat=remat,
             fused_mlp=str(c.get("fused_mlp", "auto")),
         )
         self.scene = AnimNeRFModel(self.scene_cfg)
@@ -362,7 +391,7 @@ class AnimNeRFSystem:
                 and self.renderer_cfg.n_fine_depth == 0)
 
     def compact_loss_fn(self, params: dict, batch: dict, key: jax.Array,
-                        step: jax.Array, cap_c: int):
+                        step: jax.Array, cap_c: int, global_offset=0):
         """Differentiated loss with coarse-sample compaction fused into ONE
         program: dense kNN (at its brute-force compute floor — its nearest
         distance IS the exact validity test) -> on-device survivor select
@@ -381,7 +410,7 @@ class AnimNeRFSystem:
 
         c = self.cfg
         folded = jax.random.fold_in(key, step)
-        keys = prng.elem_keys(folded, batch["rays"].shape[0])
+        keys = prng.elem_keys(folded, batch["rays"].shape[0], global_offset)
         k_render, k_loss = prng.split_keys(keys, 2)
         frame_idx = batch["frame_idx"]
         if c.optim_body_params:
@@ -425,10 +454,10 @@ class AnimNeRFSystem:
     def make_compact_trainer(self, tx: optax.GradientTransformation,
                              quantum: int = 8192, factor: float = 1.5,
                              pipelined: bool = False, sync_every: int = 32,
-                             margin: float = 1.15):
+                             margin: float = 1.15, mesh=None):
         return CompactTrainer(self, tx, quantum=quantum, factor=factor,
                               pipelined=pipelined, sync_every=sync_every,
-                              margin=margin)
+                              margin=margin, mesh=mesh)
 
     # ---------------------------------------- rows-native compacted training
 
@@ -438,7 +467,7 @@ class AnimNeRFSystem:
         return self.compaction_applicable() and self.rows_renderable()
 
     def rows_compact_loss_fn(self, params: dict, batch: dict, key: jax.Array,
-                             step: jax.Array, cap_c: int):
+                             step: jax.Array, cap_c: int, global_offset=0):
         """Differentiated loss with the coarse pass compacted on the
         rows-native kernel pipeline (render/compact_rows.py): conservative
         inflated-AABB pre-pass -> survivor select at `cap_c` -> fused
@@ -452,7 +481,7 @@ class AnimNeRFSystem:
 
         c = self.cfg
         folded = jax.random.fold_in(key, step)
-        keys = prng.elem_keys(folded, batch["rays"].shape[0])
+        keys = prng.elem_keys(folded, batch["rays"].shape[0], global_offset)
         k_render, k_loss = prng.split_keys(keys, 2)
         frame_idx = batch["frame_idx"]
         if c.optim_body_params:
@@ -489,10 +518,11 @@ class AnimNeRFSystem:
                                   quantum: int = 4096,
                                   pipelined: bool = False,
                                   sync_every: int = 32,
-                                  margin: float = 1.05):
+                                  margin: float = 1.05, mesh=None):
         return RowsCompactTrainer(self, tx, quantum=quantum,
                                   pipelined=pipelined,
-                                  sync_every=sync_every, margin=margin)
+                                  sync_every=sync_every, margin=margin,
+                                  mesh=mesh)
 
     def make_eval_step(self):
         def eval_step(params: dict, batch: dict):
@@ -568,7 +598,7 @@ class CompactTrainer:
                  tx: optax.GradientTransformation,
                  quantum: int = 8192, factor: float = 1.5,
                  pipelined: bool = False, sync_every: int = 32,
-                 margin: float = 1.15):
+                 margin: float = 1.15, mesh=None):
         if not system.compaction_applicable():
             raise ValueError(
                 "compacted training requires use_unpose and no "
@@ -580,6 +610,14 @@ class CompactTrainer:
         self.pipelined = pipelined
         self.sync_every = sync_every
         self.margin = margin  # pipelined capacity headroom over last count
+        # multi-device data parallelism: a jax.sharding.Mesh with a 'data'
+        # axis. Each chip compacts ITS batch shard at the shared static
+        # capacity (the ladder is per batch row, so one device-uniform rung
+        # serves every shard); gradients/metrics pmean over ICI and the
+        # survivor count pmax's, so the host-side ladder/overflow logic is
+        # identical to single-chip (tests/test_parallel.py asserts
+        # trajectory equality across mesh sizes).
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self.overflows = 0  # strict: exact re-runs; pipelined: ramp events
         self._cap: Optional[int] = None
         self._b: dict[int, Any] = {}
@@ -605,19 +643,53 @@ class CompactTrainer:
 
     def _b_step(self, cap_c: int):
         if cap_c not in self._b:
-            def b(state: TrainState, batch: dict, key: jax.Array):
-                grad_fn = jax.value_and_grad(
-                    partial(self._loss_fn(), cap_c=cap_c), has_aux=True)
-                (loss, details), grads = grad_fn(
-                    state.params, batch, key, state.step)
-                updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                    state.params)
-                params = optax.apply_updates(state.params, updates)
-                return TrainState(step=state.step + 1, params=params,
-                                  opt_state=opt_state), details
+            if self.mesh is None:
+                def b(state: TrainState, batch: dict, key: jax.Array):
+                    grad_fn = jax.value_and_grad(
+                        partial(self._loss_fn(), cap_c=cap_c), has_aux=True)
+                    (loss, details), grads = grad_fn(
+                        state.params, batch, key, state.step)
+                    updates, opt_state = self.tx.update(
+                        grads, state.opt_state, state.params)
+                    params = optax.apply_updates(state.params, updates)
+                    return TrainState(step=state.step + 1, params=params,
+                                      opt_state=opt_state), details
 
-            # NOT donated: an overflow re-runs the step from the same state
-            self._b[cap_c] = jax.jit(b)
+                # NOT donated: an overflow re-runs the step at a larger rung
+                # from the same state
+                self._b[cap_c] = jax.jit(b)
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                def local(state: TrainState, batch: dict, key: jax.Array):
+                    # per-element noise keyed by GLOBAL index — identical
+                    # draws on any mesh size (utils/rng.py)
+                    offset = (jax.lax.axis_index("data")
+                              * batch["rays"].shape[0])
+                    grad_fn = jax.value_and_grad(
+                        partial(self._loss_fn(), cap_c=cap_c,
+                                global_offset=offset), has_aux=True)
+                    (loss, details), grads = grad_fn(
+                        state.params, batch, key, state.step)
+                    grads = jax.lax.pmean(grads, "data")
+                    count = details.pop("compact_count")
+                    overflow = details.pop("compact_overflow")
+                    details = jax.lax.pmean(details, "data")
+                    # capacity bookkeeping needs the WORST shard
+                    details["compact_count"] = jax.lax.pmax(count, "data")
+                    details["compact_overflow"] = jax.lax.pmax(
+                        overflow, "data")
+                    updates, opt_state = self.tx.update(
+                        grads, state.opt_state, state.params)
+                    params = optax.apply_updates(state.params, updates)
+                    return TrainState(step=state.step + 1, params=params,
+                                      opt_state=opt_state), details
+
+                sm = jax.shard_map(local, mesh=self.mesh,
+                                   in_specs=(P(), P("data"), P()),
+                                   out_specs=(P(), P()),
+                                   check_vma=False)
+                self._b[cap_c] = jax.jit(sm)  # NOT donated (see above)
         return self._b[cap_c]
 
     def step(self, state: TrainState, batch: dict, key: jax.Array):
@@ -689,20 +761,29 @@ class RowsCompactTrainer(CompactTrainer):
     def __init__(self, system: AnimNeRFSystem,
                  tx: optax.GradientTransformation,
                  quantum: int = 4096, pipelined: bool = False,
-                 sync_every: int = 32, margin: float = 1.05):
+                 sync_every: int = 32, margin: float = 1.05, mesh=None):
         if not system.rows_compaction_applicable():
             raise ValueError(
                 "rows-compacted training requires the rows pipeline "
                 "(fused MLP/warp on TPU, K <= 128) plus the compaction "
                 "preconditions (see rows_compaction_applicable)")
         super().__init__(system, tx, quantum=quantum, pipelined=pipelined,
-                         sync_every=sync_every, margin=margin)
+                         sync_every=sync_every, margin=margin, mesh=mesh)
 
     def _loss_fn(self):
         return self.system.rows_compact_loss_fn
+
+    def _ladder(self, n: int) -> int:
+        # the rows engine's dense size is R*n_coarse; rungs above it would
+        # only duplicate the cap==N program (render_rays_rows_compact
+        # clamps), so cap the ladder to keep the compiled set minimal
+        cap = super()._ladder(n)
+        dense_n = getattr(self, "_dense_n", None)
+        return cap if dense_n is None else min(cap, dense_n)
 
     def _prime_cap(self, batch: dict) -> int:
         # measured boxes keep ~49% of coarse samples (+ headroom)
         r = self.system.renderer_cfg
         R = batch["rays"].shape[1]
+        self._dense_n = R * r.n_coarse
         return self._ladder(int(0.55 * R * r.n_coarse))

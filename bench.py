@@ -41,11 +41,17 @@ def main() -> None:
     B = int(os.environ.get("ANIMNERF_BENCH_B", "16"))
     n_rays = int(os.environ.get("ANIMNERF_BENCH_RAYS", "1024"))
     # default 16 x 1024 = 16,384 rays/step — the reference workload.
-    # the MLP fast path runs in bf16 on TPU (f32 params/geometry); bf16
-    # activations fit un-rematerialised at this size (+6% throughput),
-    # larger ray batches need remat to stay inside 16G HBM.
-    cfg.compute_dtype = "bfloat16"
-    cfg.remat = B * n_rays > 16384
+    # compute_dtype/remat default to 'auto' (config.py): on TPU that is
+    # the bf16 MLP fast path, remat only above the reference ray count —
+    # the same resolution the product training path (loop.py::fit) uses.
+    # The auto-remat heuristic reads the configured step ray count, so
+    # mirror the bench workload into the config fields it reads.
+    cfg.train.batch_size = B
+    ss = max(int(round(n_rays ** 0.5)), 1)
+    if ss * ss == n_rays:
+        cfg.train.subsamplesize = ss
+    else:  # non-square env override: pin remat from the true count
+        cfg.remat = B * n_rays > 16384
     from animnerf_tpu.training.system import AnimNeRFSystem
 
     system = AnimNeRFSystem(cfg, system.body_model)
@@ -53,18 +59,20 @@ def main() -> None:
     body_params = init_body_params(cfg.num_frames, pose_dim=3 * (num_joints - 1))
     state = system.init_state(rng, body_params, steps_per_epoch=100)
     tx = system.make_optimizer(steps_per_epoch=100)
-    # ANIMNERF_BENCH_COMPACT=1 benches the sample-compacted trainer
-    # (bit-equal loss — tests/test_compact_train.py) instead of the dense
-    # single-program step. On this workload the synthetic body fills the
-    # tightened near/far frustum (~38% of coarse samples in-shell), so the
-    # compacted step's pre-pass+select overhead roughly cancels its warp
-    # savings (28.8k vs 30.7k rays/s measured); it wins when survivors are
-    # sparse (real capture configs, inference: 7%).
-    mode = os.environ.get("ANIMNERF_BENCH_COMPACT", "0")
+    # Default engine = the fastest EXACT trainer the config supports — the
+    # same selection fit() makes (training/system.py::make_best_trainer):
+    # the rows-native compacted trainer (boxes pre-pass before the kNN +
+    # merged compacted fine MLP on the fused kernel pipeline, loss/grad/
+    # SGD-trajectory equal to dense — tests/test_compact_rows.py; 84.0k
+    # vs 66.9k rays/s dense measured on-chip, PERF.md round 4).
+    # ANIMNERF_BENCH_COMPACT overrides: "0"/"dense" forces the dense
+    # single-program step, "1" the point-major compacted trainer (wins
+    # only in genuinely sparse regimes — kept for parity with its tests),
+    # "rows" forces the rows engine.
+    mode = os.environ.get("ANIMNERF_BENCH_COMPACT", "auto")
+    if mode == "auto":
+        mode = "rows" if system.rows_compaction_applicable() else "dense"
     if mode == "rows":
-        # rows-native dual compaction (boxes pre-pass before the kNN +
-        # exact merged select before the fine MLP) on the fused kernel
-        # pipeline — see training/system.py::RowsCompactTrainer
         train_step = system.make_rows_compact_trainer(tx, pipelined=True).step
     elif mode == "1":
         train_step = system.make_compact_trainer(tx, pipelined=True).step

@@ -71,8 +71,7 @@ def test_rows_compact_loss_matches_dense_rows():
 @pytest.mark.slow
 def test_rows_compact_counts_are_exact():
     """compact_count must equal an independent dense count of the boxes
-    pre-pass; compact_count_m must equal the exact in-shell count of the
-    merged set (bd < thr) — these drive the trainer's capacity ladder."""
+    pre-pass — it drives the trainer's capacity ladder."""
     from animnerf_tpu.models.body_params import (
         batch_params_from_data,
         lookup_body_params,
@@ -209,6 +208,85 @@ def test_rows_trainer_sgd_trajectory_matches_dense():
                                    err_msg=jax.tree_util.keystr(pa))
 
 
+@pytest.mark.slow
+def test_rows_trainer_mesh_size_equivalence_sgd():
+    """The rows-compacted trainer composes with the data-parallel mesh:
+    3 SGD steps on 1 device == on 8 devices from identical init (the same
+    trajectory property tests/test_parallel.py asserts for the dense
+    sharded step — VERDICT r4 ask 3). Each shard compacts locally at one
+    device-uniform capacity rung; grads pmean, counts pmax."""
+    from animnerf_tpu.parallel.mesh import make_mesh
+
+    def run(n_dev):
+        # B=8 so the batch splits over the 8-device mesh
+        cfg, system, state, tx, batch = _setup(B=8, n_rays=8, sgd=True)
+        mesh = make_mesh(n_dev)
+        from animnerf_tpu.parallel.mesh import batch_sharding, replicated
+
+        with rows_path_forced():
+            system.scene.__dict__["use_fused_mlp"] = True
+            assert system.rows_compaction_applicable()
+            trainer = system.make_rows_compact_trainer(
+                tx, quantum=32, mesh=mesh)
+            st = jax.device_put(state, replicated(mesh))
+            m = None
+            for _ in range(3):
+                b = jax.device_put(batch, batch_sharding(mesh))
+                st, m = trainer.step(st, b, jax.random.PRNGKey(7))
+        return jax.device_get(st), jax.device_get(m), trainer
+
+    s1, m1, t1 = run(1)
+    s8, m8, t8 = run(8)
+    # same capacity ladder on both topologies (the 8-dev pmax count must
+    # equal the 1-dev global count)
+    assert t1._cap == t8._cap
+    assert int(m1["compact_count"]) == int(m8["compact_count"])
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+
+    for (pa, a), b in zip(jax.tree_util.tree_leaves_with_path(s1.params),
+                          jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
+def test_sharded_trainer_selects_engine():
+    """make_sharded_trainer picks the rows engine exactly when the config
+    supports it: dense on plain CPU (no fused kernels), rows under the
+    forced kernel path; ANIMNERF_TRAINER=dense always opts out."""
+    import os
+
+    from animnerf_tpu.parallel.mesh import make_mesh
+    from animnerf_tpu.parallel.train_pjit import make_sharded_trainer
+
+    cfg, system, state, tx, batch = _setup()
+    mesh = make_mesh(1)
+
+    # plain CPU: rows path unavailable -> dense
+    assert not system.rows_compaction_applicable()
+    step, _, _ = make_sharded_trainer(system, tx, mesh)
+    assert not hasattr(step, "__self__")  # a jitted fn, not a bound method
+
+    with rows_path_forced():
+        system.scene.__dict__["use_fused_mlp"] = True
+        assert system.rows_compaction_applicable()
+        from animnerf_tpu.training.system import RowsCompactTrainer
+
+        step, _, _ = make_sharded_trainer(system, tx, mesh)
+        assert isinstance(getattr(step, "__self__", None), RowsCompactTrainer)
+
+        old = os.environ.get("ANIMNERF_TRAINER")
+        os.environ["ANIMNERF_TRAINER"] = "dense"
+        try:
+            step, _, _ = make_sharded_trainer(system, tx, mesh)
+            assert not hasattr(step, "__self__")
+        finally:
+            if old is None:
+                del os.environ["ANIMNERF_TRAINER"]
+            else:
+                os.environ["ANIMNERF_TRAINER"] = old
+
+
 def test_rows_compact_bookkeeping_matches_dense_closures():
     """Fast default-suite check of the compaction BOOKKEEPING alone
     (select / gather / scatter / fills / lane merge / dual counts) against
@@ -280,3 +358,16 @@ def test_rows_compact_bookkeeping_matches_dense_closures():
             cfg, warp_rows_fn, field_rows_fn, rays, cap_c=4,
             keep_rows_fn=keep_rows_fn, perturb=perturb, key=key)
         assert int(n_c2) == int(n_c)
+
+        # a capacity ABOVE the dense size (the trainer's quantum ladder can
+        # overshoot on small configs) must clamp to the pure-permutation
+        # cap == N program, not crash in compact/expand_channels (ADVICE r4)
+        over, n_c3 = render_rays_rows_compact(
+            cfg, warp_rows_fn, field_rows_fn, rays,
+            cap_c=R * cfg.n_coarse + 37,
+            keep_rows_fn=keep_rows_fn, perturb=perturb, key=key)
+        assert int(n_c3) == int(n_c)
+        for k in dense:
+            np.testing.assert_allclose(np.asarray(dense[k]),
+                                       np.asarray(over[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)

@@ -13,33 +13,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import animnerf_tpu.models.warp as MW
-import animnerf_tpu.ops.fused_mlp as FM
-import animnerf_tpu.ops.knn_pallas as KP
-import animnerf_tpu.ops.sort_lanes as SL
-import animnerf_tpu.ops.warp_blend as WB
-
-
 @contextlib.contextmanager
 def rows_path_forced():
-    """Force the TPU-gated rows path on CPU, all kernels in interpret."""
-    saved = (KP.knn_pallas, WB.warp_blend_fwd_pallas, FM.fused_nerf_fwd,
-             FM.fused_nerf_bwd, SL._permute_impl, MW._fused_warp_enabled)
+    """Force the TPU-gated rows path on CPU, all kernels in interpret
+    (the shared helper also serves the driver's multi-chip dry run)."""
+    from animnerf_tpu.utils.interpret import rows_interpret_forced
 
-    knn0, wb0, ff0, fb0, pl0 = saved[:5]
-    KP.knn_pallas = lambda *a, **k: knn0(*a, **{**k, "interpret": True})
-    WB.warp_blend_fwd_pallas = lambda *a, **k: wb0(
-        *a, **{**k, "interpret": True})
-    FM.fused_nerf_fwd = lambda *a, **k: ff0(*a, **{**k, "interpret": True})
-    FM.fused_nerf_bwd = lambda *a, **k: fb0(*a, **{**k, "interpret": True})
-    SL._permute_impl = lambda p, o, interpret=False: SL._permute_lanes_pallas(
-        p, o, interpret=True)
-    MW._fused_warp_enabled = lambda: True
-    try:
+    with rows_interpret_forced():
         yield
-    finally:
-        (KP.knn_pallas, WB.warp_blend_fwd_pallas, FM.fused_nerf_fwd,
-         FM.fused_nerf_bwd, SL._permute_impl, MW._fused_warp_enabled) = saved
 
 
 def _setup():
