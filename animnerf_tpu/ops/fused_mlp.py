@@ -368,8 +368,18 @@ def _fused_core_fwd(xyz_t, ws, bs, n_freqs, tile, dtype_name):
 
 def _fused_core_bwd(n_freqs, tile, dtype_name, res, ct):
     xyz_t, ws, bs = res
-    return fused_nerf_bwd(xyz_t, ws, bs, ct, n_freqs=n_freqs, tile=tile,
-                          dtype=jnp.dtype(dtype_name))
+    # The backward tile is capped at 512 regardless of the forward tile:
+    # at tile=1024 the bwd kernel's recomputed activations put its scoped
+    # VMEM right at the 16M edge, and programs where XLA co-allocates
+    # scoped buffers across the custom call (seen in the rows-compacted
+    # train step at the 32768-capacity rung) overflow it by a few hundred
+    # KB at compile time. Halving the tile frees ~4MB of headroom and is
+    # speed-neutral: the bwd is MXU-bound, measured 37.8 vs 37.6 ms for
+    # the 2.6M-point flagship shape (tools/bench_mlp.py::bench_fused).
+    # Mp is padded to the fwd tile (a multiple of 512), so the grid stays
+    # exact.
+    return fused_nerf_bwd(xyz_t, ws, bs, ct, n_freqs=n_freqs,
+                          tile=min(tile, 512), dtype=jnp.dtype(dtype_name))
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)

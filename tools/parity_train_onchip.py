@@ -86,6 +86,21 @@ def main(n_steps: int = 10) -> dict:
             psnrs.append(float(m["psnr"]))
         return jax.device_get(st), losses, psnrs
 
+    def group_deltas(sa, sb):
+        groups = {}
+        for gname in sa.params:
+            fa = jax.tree_util.tree_leaves(sa.params[gname])
+            fb = jax.tree_util.tree_leaves(sb.params[gname])
+            num = den = 0.0
+            for a, b in zip(fa, fb):
+                a = np.asarray(a, np.float64)
+                b = np.asarray(b, np.float64)
+                num += float(np.sum((a - b) ** 2))
+                den += float(np.sum(a ** 2))
+            groups[gname] = {
+                "param_rel_l2": (num ** 0.5) / max(den ** 0.5, 1e-12)}
+        return groups
+
     dense_step = jax.jit(system.make_train_step(tx))
     sd, ld, pd = run(dense_step)
 
@@ -94,18 +109,31 @@ def main(n_steps: int = 10) -> dict:
 
     dl = [abs(a - b) for a, b in zip(ld, lc)]
     rel = [d / max(abs(a), 1e-12) for d, a in zip(dl, ld)]
+    groups = group_deltas(sd, sc)
 
-    groups = {}
-    for gname in sd.params:
-        fa = jax.tree_util.tree_leaves(sd.params[gname])
-        fb = jax.tree_util.tree_leaves(sc.params[gname])
-        num = den = 0.0
-        for a, b in zip(fa, fb):
-            a = np.asarray(a, np.float64)
-            b = np.asarray(b, np.float64)
-            num += float(np.sum((a - b) ** 2))
-            den += float(np.sum(a ** 2))
-        groups[gname] = {"param_rel_l2": (num ** 0.5) / max(den ** 0.5, 1e-12)}
+    # SGD control: Adam's g/(sqrt(v)+eps) amplifies reduction-order noise
+    # on near-zero grads to +-lr per step (the body-param group's grads are
+    # tiny at init), so the Adam param deltas above bound Adam's noise
+    # amplification, not the compaction error. A linear optimizer exposes
+    # the raw trajectory difference.
+    cfg_sgd = cfg.clone()
+    cfg_sgd.train.optimizer.type = "sgd"
+    sys_sgd = AnimNeRFSystem(cfg_sgd, system.body_model)
+    tx_sgd = sys_sgd.make_optimizer(steps_per_epoch=100)
+
+    def run_sgd(step_fn):
+        st = jax.device_put(sys_sgd.init_state(rng, body_params,
+                                               steps_per_epoch=100))
+        losses = []
+        for b in batches:
+            st, m = step_fn(st, b, key)
+            losses.append(float(m["loss"]))
+        return jax.device_get(st), losses
+
+    sd2, ld2 = run_sgd(jax.jit(sys_sgd.make_train_step(tx_sgd)))
+    sc2, lc2 = run_sgd(sys_sgd.make_rows_compact_trainer(tx_sgd).step)
+    groups_sgd = group_deltas(sd2, sc2)
+    rel_sgd = [abs(a - b) / max(abs(a), 1e-12) for a, b in zip(ld2, lc2)]
 
     out = {
         "workload": f"{B}x{n_rays} rays, V=6890, 64c+96f samples, "
@@ -117,6 +145,10 @@ def main(n_steps: int = 10) -> dict:
         "final_psnr_dense": pd[-1],
         "final_psnr_rows_compact": pc[-1],
         "param_groups_after_n_steps": groups,
+        "sgd_control": {
+            "max_rel_loss_delta": max(rel_sgd),
+            "param_groups_after_n_steps": groups_sgd,
+        },
         "trainer_overflows": trainer.overflows,
         "trainer_cap": trainer._cap,
     }
