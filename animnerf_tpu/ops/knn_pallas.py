@@ -265,6 +265,134 @@ def _packed_knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref, out_i_ref,
     out_i_ref[0] = keys & jnp.int32(0x1FFF)
 
 
+def _tournament_knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref,
+                           out_i_ref, top_k, *, tile_v: int,
+                           n_vert_tiles: int, far2: float):
+    """Packed-key top-4 via a bitonic tournament (k=4 only).
+
+    Same packed int32 keys as _packed_knn_kernel (d2 f32 bits & ~0x1FFF |
+    vertex index — see its docstring for the quantization contract), but
+    the extraction replaces the 4 extract-min sweeps (each a full-tile min
+    reduction PLUS a full-tile equality knockout, ~3 row-ops per vertex row
+    per pass, 12 total) with a single merge tree, ~6 row-ops per vertex row:
+
+      * slice the (TV, TN) keys into 4 row groups; each (row, lane)
+        position now holds 4 candidate keys, sorted ascending by a
+        5-exchange network (10 min/max ops on (TV/4, TN) arrays);
+      * merge positions pairwise down the rows: for sorted 4-vectors a, b
+        the 4 smallest of a ∪ b are exactly min(a_i, b_{3-i}) (bitonic),
+        resorted by the 2-stage network ce(0,2),(1,3),(0,1),(2,3) — 12
+        min/max ops per level on halving shapes;
+      * below 8 sublanes, static slices stop being tile-aligned, so the
+        last 3 levels pair row r with row r+h via pltpu.roll(-h): every
+        row r computes min(a_i[r], b_{3-i}[(r+h) % 8]), which for ANY r is
+        a valid merge of the pair {r, (r+h) % 8} (the min-with-reversed
+        trick is symmetric in a and b), so after h = 4, 2, 1 every row —
+        row 0 included — holds the tile's true top-4;
+      * one last bitonic merge folds the tile's 4-vector into the running
+        top_k scratch.
+
+    Winners are bit-identical to _packed_knn_kernel: keys are distinct
+    (index bits), and the top-4 of a set of distinct keys does not depend
+    on the comparison order. Measured 65.9 ms vs 70.9 ms extract-min on
+    the tools/bench_knn.py rig (v5e) — see PERF.md round 5.
+    far2 as in _knn_kernel."""
+    tile_n = points_ref.shape[-1]
+    px = points_ref[0, 0, :].reshape(1, tile_n)
+    py = points_ref[0, 1, :].reshape(1, tile_n)
+    pz = points_ref[0, 2, :].reshape(1, tile_n)
+    pp = px * px + py * py + pz * pz
+
+    BIGKEY = jnp.int32(0x7FFFFFFF)
+    MASK = jnp.int32(~0x1FFF)
+    top_k[:] = jnp.full((4, tile_n), BIGKEY, dtype=jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_v, tile_n), 0)
+
+    if far2 > 0:
+        g_lb2 = jnp.full((1, tile_n), jnp.inf, dtype=jnp.float32)
+        for t in range(n_vert_tiles):
+            lb2 = jnp.zeros((1, tile_n), dtype=jnp.float32)
+            for d, p in enumerate((px, py, pz)):
+                gap = jnp.maximum(
+                    jnp.maximum(vbox_ref[0, t, d] - p,
+                                p - vbox_ref[0, t, 3 + d]), 0.0)
+                lb2 = lb2 + gap * gap
+            g_lb2 = jnp.minimum(g_lb2, lb2)
+        all_far = jnp.min(g_lb2) > far2
+
+    def resort_bitonic(v):
+        # sorted(a) x sorted(b) -> min(a_i, b_{3-i}) is bitonic; 2 stages
+        for a, b in ((0, 2), (1, 3), (0, 1), (2, 3)):
+            lo = jnp.minimum(v[a], v[b])
+            hi = jnp.maximum(v[a], v[b])
+            v[a], v[b] = lo, hi
+        return v
+
+    def tile_body(t, _):
+        off = t * tile_v
+        vx = verts_ref[0, 0, pl.ds(off, tile_v)].reshape(tile_v, 1)
+        vy = verts_ref[0, 1, pl.ds(off, tile_v)].reshape(tile_v, 1)
+        vz = verts_ref[0, 2, pl.ds(off, tile_v)].reshape(tile_v, 1)
+        m2x, m2y, m2z = -(vx + vx), -(vy + vy), -(vz + vz)
+        vq = vx * vx + vy * vy + vz * vz
+        d2 = jnp.maximum(
+            pp + (m2z * pz + (m2y * py + (m2x * px + vq))), 0.0)
+        key = (jax.lax.bitcast_convert_type(d2, jnp.int32) & MASK) | (col + off)
+
+        g = tile_v // 4
+        v = [jax.lax.slice_in_dim(key, i * g, (i + 1) * g, axis=0)
+             for i in range(4)]
+        # sort each position's 4-vector (5-exchange network)
+        for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            lo = jnp.minimum(v[a], v[b])
+            hi = jnp.maximum(v[a], v[b])
+            v[a], v[b] = lo, hi
+        # merge tree on aligned slices down to 8 sublanes
+        while g > 8:
+            h = g // 2
+            a = [jax.lax.slice_in_dim(v[i], 0, h, axis=0) for i in range(4)]
+            b = [jax.lax.slice_in_dim(v[i], h, g, axis=0) for i in range(4)]
+            v = resort_bitonic([jnp.minimum(a[i], b[3 - i])
+                                for i in range(4)])
+            g = h
+        # last 3 levels inside the (8, TN) tile via sublane rotation
+        h = 4
+        while h >= 1:
+            # roll takes non-negative shifts; rotating rows by 8-h pairs
+            # row r with row (r+h) % 8, which is what the merge wants
+            w = [pltpu.roll(v[3 - i], 8 - h, axis=0) for i in range(4)]
+            v = resort_bitonic([jnp.minimum(v[i], w[i]) for i in range(4)])
+            h //= 2
+        # fold the tile's top-4 (row 0 of each) into the running scratch
+        tk = [top_k[i, :] for i in range(4)]
+        cand = [v[3 - i][0, :] for i in range(4)]
+        tk = resort_bitonic([jnp.minimum(tk[i], cand[i]) for i in range(4)])
+        for i in range(4):
+            top_k[i, :] = tk[i]
+        return 0
+
+    def full_sweep():
+        jax.lax.fori_loop(0, n_vert_tiles, tile_body, 0)
+
+    if far2 > 0:
+        @pl.when(all_far)
+        def _():
+            lb_key = ((jax.lax.bitcast_convert_type(g_lb2, jnp.int32) & MASK)
+                      + jnp.int32(0x2000)) & MASK
+            top_k[:] = jnp.broadcast_to(lb_key, (4, tile_n))
+
+        @pl.when(jnp.logical_not(all_far))
+        def _():
+            full_sweep()
+    else:
+        full_sweep()
+
+    keys = top_k[:]
+    d2q = jax.lax.bitcast_convert_type(keys & MASK, jnp.float32)
+    out_d_ref[0] = jnp.sqrt(d2q)
+    out_i_ref[0] = keys & jnp.int32(0x1FFF)
+
+
 def _min_dist_kernel(points_ref, verts_ref, out_ref, *, tile_v: int,
                      n_vert_tiles: int):
     """Nearest-vertex distance only — no top-k bookkeeping, no argmin: one
@@ -336,12 +464,13 @@ def min_dist_pallas(points: jax.Array, verts: jax.Array,
 @partial(jax.jit,
          static_argnames=("k", "tile_n", "tile_v", "interpret", "cull",
                           "far_skip", "packed", "transposed_out",
-                          "points_t_in"))
+                          "points_t_in", "tournament"))
 def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
                tile_n: int = 1024, tile_v: int = 512,
                interpret: bool = False, cull: bool = False,
                far_skip: float = 0.0, packed: bool = False,
-               transposed_out: bool = False, points_t_in: bool = False):
+               transposed_out: bool = False, points_t_in: bool = False,
+               tournament: bool = True):
     """Exact kNN, same contract as ops.knn.knn: (B,N,3),(B,N,k) ->
     dists (B,N,k) ascending + idx (B,N,k). `cull` enables the exact
     AABB tile-skip; `far_skip` (= dis_threshold) enables the pipeline-exact
@@ -349,7 +478,10 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
     distances to vertex 0 (all > far_skip), indices are 0 (see
     _knn_kernel). `packed` selects the faster packed-key kernel (distances
     quantized: 13 low mantissa bits dropped, <= 2^-10 relative on d2; winners exact under quantized ordering —
-    see _packed_knn_kernel; incompatible with `cull`)."""
+    see _packed_knn_kernel; incompatible with `cull`). With `tournament`
+    (default) a packed call with k=4 and a power-of-two tile_v >= 32 takes
+    the bitonic merge-tree kernel instead of the extract-min kernel —
+    bit-identical winners, ~7% faster (see _tournament_knn_kernel)."""
     if points_t_in:  # (B, 3, N) rows — the fused pipeline's native form
         B, _, N = points.shape
     else:
@@ -398,8 +530,14 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
          jnp.zeros((B, n_vt, 2), jnp.float32)], axis=-1)  # (B, n_vt, 8)
 
     if packed:
-        kernel = partial(_packed_knn_kernel, k=k, tile_v=tile_v,
-                         n_vert_tiles=n_vt, far2=float(far_skip) ** 2)
+        use_tournament = (tournament and k == 4 and tile_v >= 32
+                          and tile_v & (tile_v - 1) == 0)
+        if use_tournament:
+            kernel = partial(_tournament_knn_kernel, tile_v=tile_v,
+                             n_vert_tiles=n_vt, far2=float(far_skip) ** 2)
+        else:
+            kernel = partial(_packed_knn_kernel, k=k, tile_v=tile_v,
+                             n_vert_tiles=n_vt, far2=float(far_skip) ** 2)
         scratch = [pltpu.VMEM((k, tile_n), jnp.int32)]
     else:
         kernel = partial(_knn_kernel, k=k, tile_v=tile_v,

@@ -578,3 +578,24 @@ def test_knn_pallas_packed_large_v_downgrades_to_unpacked():
         np.asarray(i_pl), axis=-1)
     np.testing.assert_allclose(d_true_at_idx, np.asarray(d_ref), atol=2e-4)
     assert int(np.max(np.asarray(i_pl))) < 10475
+
+
+def test_knn_pallas_tournament_bit_equal_to_extract_min():
+    """The bitonic tournament kernel (packed, k=4, power-of-two tile_v)
+    must return bit-identical distances AND indices to the extract-min
+    packed kernel: keys are distinct, so top-4 is comparison-order
+    independent. Also cover the far_skip branch."""
+    from animnerf_tpu.ops.knn_pallas import knn_pallas
+
+    rng = np.random.default_rng(23)
+    pts = jnp.asarray(rng.normal(size=(2, 384, 3)).astype(np.float32))
+    verts = jnp.asarray(rng.normal(size=(2, 700, 3)).astype(np.float32))
+    for fs in (0.0, 0.5):
+        d_em, i_em = knn_pallas(pts, verts, k=4, tile_n=128, tile_v=256,
+                                interpret=True, packed=True, far_skip=fs,
+                                tournament=False)
+        d_t, i_t = knn_pallas(pts, verts, k=4, tile_n=128, tile_v=256,
+                              interpret=True, packed=True, far_skip=fs,
+                              tournament=True)
+        np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_em))
+        np.testing.assert_array_equal(np.asarray(d_t), np.asarray(d_em))

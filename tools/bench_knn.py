@@ -180,14 +180,24 @@ def main():
     print(f"min_dist_pallas                  : {ms:7.2f} ms")
     # packed variant: bench the PRODUCTION kernel (ops/knn_pallas.py),
     # not a local copy that could drift from what ships
-    ms = bench(lambda p, v: knn_pallas(p, v, k=4, packed=True),
+    ms = bench(lambda p, v: knn_pallas(p, v, k=4, packed=True,
+                                       tournament=False),
                pts_list, verts)
     print(f"knn_pallas packed (d2bits|idx)   : {ms:7.2f} ms")
+    ms = bench(lambda p, v: knn_pallas(p, v, k=4, packed=True,
+                                       tournament=True),
+               pts_list, verts)
+    print(f"knn_pallas packed tournament     : {ms:7.2f} ms")
     d_ref, i_ref = knn_pallas(pts[:2, :4096], verts[:2], k=4)
-    d_new, i_new = knn_pallas(pts[:2, :4096], verts[:2], k=4, packed=True)
+    d_new, i_new = knn_pallas(pts[:2, :4096], verts[:2], k=4, packed=True,
+                              tournament=False)
     rel = np.abs(np.asarray(d_ref) - np.asarray(d_new)) / (np.asarray(d_ref) + 1e-12)
     mism = int(jnp.sum(i_ref != i_new))
     print(f"packed: max rel d err {rel.max():.2e}; idx mismatch {mism}/{i_ref.size}")
+    d_t, i_t = knn_pallas(pts[:2, :4096], verts[:2], k=4, packed=True,
+                          tournament=True)
+    print(f"tournament vs packed bit-equal: d {bool(jnp.all(d_t == d_new))} "
+          f"i {bool(jnp.all(i_t == i_new))}")
     for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):
         ms = bench(lambda p, v: knn_mxu(p, v, k=4, precision=prec),
                    pts_list, verts)
