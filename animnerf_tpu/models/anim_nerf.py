@@ -304,12 +304,13 @@ def _rows_path_ok(model: "AnimNeRFModel") -> bool:
             and not c.use_deformation and _fused_warp_enabled())
 
 
-def _warp_rows(model: "AnimNeRFModel", ctx, xyz_t):
+def _warp_rows(model: "AnimNeRFModel", ctx, xyz_t, tile_skip: bool = False):
     from animnerf_tpu.models.warp import unpose_rows
 
     c = model.cfg
     return unpose_rows(ctx, xyz_t, k=c.k_neigh, weight_std=c.weight_std,
-                       far_skip=c.dis_threshold if c.knn_far_skip else 0.0)
+                       far_skip=c.dis_threshold if c.knn_far_skip else 0.0,
+                       tile_skip=tile_skip)
 
 
 def _field_rows(model: "AnimNeRFModel", params: dict, rows, use_fine: bool):

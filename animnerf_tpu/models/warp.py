@@ -452,12 +452,17 @@ def unpose_rows(
     k: int = 4,
     weight_std: float = 0.1,
     far_skip: float = 0.0,
+    tile_skip: bool = False,
 ) -> jax.Array:
     """Rows-native unpose for the transposed pipeline: xyz_t (B, 8, N)
     rows [x|y|z|0..] -> (B, 8, N) rows [x'|y'|z'|blended_dist|0..].
     Same math as unpose() minus viewdir warping (callers are gated to
     unpose_view=False); validity is derived downstream from the
-    blended-dist row (< dis_threshold)."""
+    blended-dist row (< dis_threshold).
+
+    tile_skip: output-identical kNN vertex-tile skipping — pays only when
+    the lanes are spatially coherent (the Morton-compacted training step
+    sets it; see ops/knn_pallas.py)."""
     import os
 
     from animnerf_tpu.ops.knn_pallas import knn_pallas
@@ -471,7 +476,7 @@ def unpose_rows(
         tile_v=int(os.environ.get("ANIMNERF_KNN_TILE_V", "512")),
         far_skip=far_skip,
         packed=os.environ.get("ANIMNERF_KNN_PACKED", "1") == "1",
-        transposed_out=True, points_t_in=True)
+        transposed_out=True, points_t_in=True, tile_skip=tile_skip)
 
     return warp_blend_rows(xyz_t, dists, idx, table_p, J,
                            float(weight_std), 0.9)

@@ -266,8 +266,9 @@ def _packed_knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref, out_i_ref,
 
 
 def _tournament_knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref,
-                           out_i_ref, top_k, *, tile_v: int,
-                           n_vert_tiles: int, far2: float):
+                           out_i_ref, top_k, score_ref=None, order_ref=None,
+                           *, tile_v: int, n_vert_tiles: int, far2: float,
+                           tile_skip: bool = False):
     """Packed-key top-4 via a bitonic tournament (k=4 only).
 
     Same packed int32 keys as _packed_knn_kernel (d2 f32 bits & ~0x1FFF |
@@ -296,7 +297,20 @@ def _tournament_knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref,
     (index bits), and the top-4 of a set of distinct keys does not depend
     on the comparison order. Measured 65.9 ms vs 70.9 ms extract-min on
     the tools/bench_knn.py rig (v5e) — see PERF.md round 5.
-    far2 as in _knn_kernel."""
+    far2 as in _knn_kernel.
+
+    With `tile_skip`, a vertex tile is skipped when its deflated
+    per-point distance lower bound (point-to-tile-AABB, shrunk by 2^-8
+    relative + 1e-4 absolute to dominate the dot-form cancellation and
+    key quantization) exceeds EVERY lane's current 4th-best key. Skipping
+    is provably output-identical: any vertex v in tile t has
+    d2(v) >= lb2(t) >= lb2_safe(t), so key(v) >= lb_key(t) > kth implies
+    v can never enter the running top-4 (and kth only shrinks later). To
+    make the bound bite early, the tile with the smallest summed lb2 is
+    processed FIRST (a dynamic 512-aligned lane slice); effectiveness
+    requires spatially coherent point tiles — the rows-compact trainer
+    Morton-sorts survivors for exactly this (ops/perm_sort.py). Selectivity
+    measured on the flagship surface rig: see PERF.md round 5."""
     tile_n = points_ref.shape[-1]
     px = points_ref[0, 0, :].reshape(1, tile_n)
     py = points_ref[0, 1, :].reshape(1, tile_n)
@@ -308,17 +322,41 @@ def _tournament_knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref,
     top_k[:] = jnp.full((4, tile_n), BIGKEY, dtype=jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_v, tile_n), 0)
 
-    if far2 > 0:
+    def tile_lb2(t):
+        """Per-lane squared-distance lower bound to vertex tile t's AABB.
+        t may be traced: vbox lives in SMEM (scalar reads)."""
+        lb2 = jnp.zeros((1, tile_n), dtype=jnp.float32)
+        for d, p in enumerate((px, py, pz)):
+            gap = jnp.maximum(
+                jnp.maximum(vbox_ref[0, t, d] - p,
+                            p - vbox_ref[0, t, 3 + d]), 0.0)
+            lb2 = lb2 + gap * gap
+        return lb2
+
+    if far2 > 0 or tile_skip:
         g_lb2 = jnp.full((1, tile_n), jnp.inf, dtype=jnp.float32)
         for t in range(n_vert_tiles):
-            lb2 = jnp.zeros((1, tile_n), dtype=jnp.float32)
-            for d, p in enumerate((px, py, pz)):
-                gap = jnp.maximum(
-                    jnp.maximum(vbox_ref[0, t, d] - p,
-                                p - vbox_ref[0, t, 3 + d]), 0.0)
-                lb2 = lb2 + gap * gap
+            lb2 = tile_lb2(t)
             g_lb2 = jnp.minimum(g_lb2, lb2)
-        all_far = jnp.min(g_lb2) > far2
+            if tile_skip:
+                # scores/order live in SMEM so the sweep can index them
+                # with a traced rank (scalar loads/stores only)
+                score_ref[t] = jnp.sum(lb2)
+        all_far = jnp.min(g_lb2) > far2 if far2 > 0 else False
+
+    if tile_skip:
+        # ascending-score visit order (selection sort over <=64 scalars):
+        # visiting near tiles first makes every lane's 4th-best bound
+        # final-tight after a couple of tiles, so far tiles actually skip
+        for i in range(n_vert_tiles):
+            best_t = jnp.int32(0)
+            best_s = jnp.float32(jnp.inf)
+            for t in range(n_vert_tiles):
+                s = score_ref[t]
+                best_t = jnp.where(s < best_s, jnp.int32(t), best_t)
+                best_s = jnp.minimum(s, best_s)
+            order_ref[i] = best_t
+            score_ref[best_t] = jnp.float32(jnp.inf)
 
     def resort_bitonic(v):
         # sorted(a) x sorted(b) -> min(a_i, b_{3-i}) is bitonic; 2 stages
@@ -372,7 +410,29 @@ def _tournament_knn_kernel(points_ref, verts_ref, vbox_ref, out_d_ref,
         return 0
 
     def full_sweep():
-        jax.lax.fori_loop(0, n_vert_tiles, tile_body, 0)
+        if not tile_skip:
+            jax.lax.fori_loop(0, n_vert_tiles, tile_body, 0)
+            return
+
+        # nearest tile first — unconditionally — so every lane's 4th-best
+        # bound is tight before the first skip test runs
+        tile_body(order_ref[0], 0)
+
+        def sweep_body(i, _):
+            t = order_ref[i]
+            lb2s = jnp.maximum(tile_lb2(t) * (1.0 - 2.0 ** -8) - 1e-4, 0.0)
+            lb_key = jax.lax.bitcast_convert_type(lb2s, jnp.int32) & MASK
+            kth = top_k[3, :].reshape(1, tile_n)
+            # process unless EVERY lane's bound already exceeds its 4th best
+            needed = jnp.min(lb_key - kth) <= 0
+
+            @pl.when(needed)
+            def _():
+                tile_body(t, 0)
+
+            return 0
+
+        jax.lax.fori_loop(1, n_vert_tiles, sweep_body, 0)
 
     if far2 > 0:
         @pl.when(all_far)
@@ -464,13 +524,13 @@ def min_dist_pallas(points: jax.Array, verts: jax.Array,
 @partial(jax.jit,
          static_argnames=("k", "tile_n", "tile_v", "interpret", "cull",
                           "far_skip", "packed", "transposed_out",
-                          "points_t_in", "tournament"))
+                          "points_t_in", "tournament", "tile_skip"))
 def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
                tile_n: int = 1024, tile_v: int = 512,
                interpret: bool = False, cull: bool = False,
                far_skip: float = 0.0, packed: bool = False,
                transposed_out: bool = False, points_t_in: bool = False,
-               tournament: bool = True):
+               tournament: bool = True, tile_skip: bool = False):
     """Exact kNN, same contract as ops.knn.knn: (B,N,3),(B,N,k) ->
     dists (B,N,k) ascending + idx (B,N,k). `cull` enables the exact
     AABB tile-skip; `far_skip` (= dis_threshold) enables the pipeline-exact
@@ -481,7 +541,11 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
     see _packed_knn_kernel; incompatible with `cull`). With `tournament`
     (default) a packed call with k=4 and a power-of-two tile_v >= 32 takes
     the bitonic merge-tree kernel instead of the extract-min kernel —
-    bit-identical winners, ~7% faster (see _tournament_knn_kernel)."""
+    bit-identical winners, ~7% faster (see _tournament_knn_kernel).
+    `tile_skip` (tournament path only) additionally skips vertex tiles
+    whose conservative distance lower bound exceeds every lane's current
+    4th-best — output-identical by construction; pays only when the point
+    tiles are spatially coherent (Morton-sorted survivors)."""
     if points_t_in:  # (B, 3, N) rows — the fused pipeline's native form
         B, _, N = points.shape
     else:
@@ -532,13 +596,19 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
     if packed:
         use_tournament = (tournament and k == 4 and tile_v >= 32
                           and tile_v & (tile_v - 1) == 0)
+        use_tile_skip = tile_skip and tile_v >= 128  # Mosaic: dynamic lane
+        # slices must be provable 128-multiples (the bootstrap tile slice)
         if use_tournament:
             kernel = partial(_tournament_knn_kernel, tile_v=tile_v,
-                             n_vert_tiles=n_vt, far2=float(far_skip) ** 2)
+                             n_vert_tiles=n_vt, far2=float(far_skip) ** 2,
+                             tile_skip=use_tile_skip)
         else:
             kernel = partial(_packed_knn_kernel, k=k, tile_v=tile_v,
                              n_vert_tiles=n_vt, far2=float(far_skip) ** 2)
         scratch = [pltpu.VMEM((k, tile_n), jnp.int32)]
+        if use_tournament and use_tile_skip:
+            scratch += [pltpu.SMEM((n_vt,), jnp.float32),
+                        pltpu.SMEM((n_vt,), jnp.int32)]
     else:
         kernel = partial(_knn_kernel, k=k, tile_v=tile_v,
                          n_vert_tiles=n_vt, cull=cull,
@@ -554,8 +624,11 @@ def knn_pallas(points: jax.Array, verts: jax.Array, k: int = 4,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, Vp), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            # SMEM: only ever read as scalars, and the tile-skip sweep
+            # indexes it with a traced tile id (dynamic scalar reads are
+            # an SMEM capability, not a VMEM one)
             pl.BlockSpec((1, n_vt, 8), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, k, tile_n), lambda b, i: (b, 0, i),

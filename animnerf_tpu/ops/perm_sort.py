@@ -43,19 +43,56 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def compaction_ranks(keep: jax.Array):
+def _morton_rows(px: jax.Array, py: jax.Array, pz: jax.Array) -> jax.Array:
+    """(B, N) coordinate rows -> (B, N) int32 Morton codes (10 bits/axis,
+    per-row normalized — any consistent spatial key works here; the codes
+    only choose an ORDER). Max value < 2^30."""
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    out = jnp.zeros(px.shape, dtype=jnp.uint32)
+    for shift, p in enumerate((px, py, pz)):
+        lo = p.min(axis=1, keepdims=True)
+        hi = p.max(axis=1, keepdims=True)
+        q = jnp.clip((p - lo) / (hi - lo + 1e-9) * 1023.0,
+                     0.0, 1023.0).astype(jnp.uint32)
+        out = out | (spread(q) << shift)
+    return out.astype(jnp.int32)
+
+
+def compaction_ranks(keep: jax.Array, xyz_rows=None):
     """keep (B, N) bool -> (o, inv, n) rank tables for sort-permutation.
 
     o   (B, N) s32: o[p] = original index of the sample at rank p
-                    (survivors first in original order, then dropped
-                    in original order — a full permutation).
+                    (survivors first, then dropped in original order — a
+                    full permutation). Survivors keep original order by
+                    default; with `xyz_rows` ((px, py, pz) coordinate rows)
+                    they are ordered by MORTON CODE instead, making the
+                    compacted lanes spatially coherent — what the kNN
+                    kernel's vertex-tile skip needs to fire
+                    (ops/knn_pallas.py tile_skip). Either order is exact:
+                    every downstream kernel is pointwise per lane and
+                    expand_channels inverts any permutation; only
+                    float accumulation order (weight grads) can differ.
     inv (B, N) s32: inv[i] = rank of original index i (o's inverse).
     n   ()     s32: max per-row survivor count (the capacity check).
     """
     B, N = keep.shape
     iota = lax.broadcasted_iota(jnp.int32, (B, N), 1)
-    keys = jnp.where(keep, iota, iota + jnp.int32(N))
-    _, o = lax.sort((keys, iota), num_keys=1)
+    if xyz_rows is None:
+        keys = jnp.where(keep, iota, iota + jnp.int32(N))
+        _, o = lax.sort((keys, iota), num_keys=1)
+    else:
+        m = _morton_rows(*(lax.stop_gradient(p) for p in xyz_rows))
+        # kept: morton (< 2^30); dropped: one shared big key — the iota
+        # tie-break keeps dropped samples in original order, and makes
+        # every (key1, key2) pair distinct (a full permutation)
+        keys = jnp.where(keep, m, jnp.int32(0x7FFFFFFF))
+        _, _, o = lax.sort((keys, iota, iota), num_keys=2)
     _, inv = lax.sort((o, iota), num_keys=1)
     n = jnp.max(jnp.sum(keep, axis=1)).astype(jnp.int32)
     return o, inv, n

@@ -83,16 +83,24 @@ def render_rays_rows_compact(
     keep_rows_fn: Callable,
     perturb: float = 0.0,
     key: Optional[jax.Array] = None,
+    morton: bool = False,
 ):
     """render_rays_rows with the coarse pass compacted (and the fine MLP
     shrunk for free by reusing the compacted coarse rows).
 
     Args:
       warp_rows_fn / field_rows_fn: the rows-native model hooks
-        (AnimNeRFModel.warp_rows / field_rows).
+        (AnimNeRFModel.warp_rows / field_rows). With morton=True the
+        coarse call passes tile_skip=True (forwarded to the kNN kernel),
+        so warp_rows_fn must accept that keyword.
       cap_c: survivor capacity of the coarse pass (per batch row).
       keep_rows_fn: rows (B, 8, N) -> (B, N) bool, a CONSERVATIVE
         validity pre-pass (ops/knn.py::keep_rows_within_boxes).
+      morton: order the compacted survivors by Morton code instead of
+        original ray order, and enable the kNN kernel's vertex-tile skip
+        on the coarse sweep (exact either way — the permutation machinery
+        inverts any order, every kernel is pointwise per lane; only float
+        accumulation order in weight grads can differ).
 
     Returns (out dict, n_c): the max-per-row survivor count; n_c > cap_c
     means survivors were sigma-filled this call — the trainer detects it
@@ -115,7 +123,9 @@ def render_rays_rows_compact(
     rows_c = _rows_from_z(rays, z_coarse)                  # (B, 8, R*Kc)
 
     keep_c = keep_rows_fn(rows_c)                          # (B, R*Kc)
-    o, inv, n_c = compaction_ranks(keep_c)
+    o, inv, n_c = compaction_ranks(
+        keep_c,
+        xyz_rows=tuple(rows_c[:, c] for c in range(3)) if morton else None)
 
     xyz_sel = compact_channels(
         tuple(rows_c[:, c] for c in range(3)), o, inv, cap_c)
@@ -123,7 +133,8 @@ def render_rays_rows_compact(
         [jnp.stack(xyz_sel, axis=1),
          jnp.zeros((B, 5, cap_c), rows_c.dtype)], axis=1)  # (B, 8, cap_c)
 
-    wout_sel = warp_rows_fn(sel_rows)
+    wout_sel = (warp_rows_fn(sel_rows, tile_skip=True) if morton
+                else warp_rows_fn(sel_rows))
     f_sel = field_rows_fn(wout_sel, False)                 # (B, 8, cap_c)
 
     def expand_cols(src):
@@ -158,8 +169,23 @@ def render_rays_rows_compact(
                     det=(perturb == 0), key=k_fine))
     Kf = z_fine.shape[-1]
     # fine importance samples concentrate on the body (~99% in-shell
-    # measured) — their warp/kNN runs dense, as in render_rays_rows
-    wout_f = warp_rows_fn(_rows_from_z(rays, z_fine))      # (B, 8, R*Kf)
+    # measured) — their warp/kNN runs dense (no capacity), but under
+    # `morton` they are spatially SORTED first (a pure permutation, cap
+    # == N) so the fine kNN/warp-blend see coherent lanes too; their
+    # field outputs are un-permuted below before compositing
+    rows_f = _rows_from_z(rays, z_fine)                    # (B, 8, R*Kf)
+    if morton:
+        keep_f = jnp.ones((B, R * Kf), bool)
+        o_f, inv_f, _ = compaction_ranks(
+            keep_f, xyz_rows=tuple(rows_f[:, c] for c in range(3)))
+        xyz_f = compact_channels(
+            tuple(rows_f[:, c] for c in range(3)), o_f, inv_f, R * Kf)
+        rows_f = jnp.concatenate(
+            [jnp.stack(xyz_f, axis=1),
+             jnp.zeros((B, 5, R * Kf), rows_f.dtype)], axis=1)
+        wout_f = warp_rows_fn(rows_f, tile_skip=True)
+    else:
+        wout_f = warp_rows_fn(rows_f)
 
     # ONE fine-MLP call on the unsorted [compacted coarse | dense fine]
     # concat — the MLP is pointwise, so only the composite needs depth
@@ -169,7 +195,13 @@ def render_rays_rows_compact(
     f_mc, f_mf = f_m[:, :, :cap_c], f_m[:, :, cap_c:]
 
     cols_c = expand_cols(f_mc)                             # 4 x (B, R, Kc)
-    cols_f = [f_mf[:, c].reshape(B, R, Kf) for c in range(4)]
+    if morton:
+        # undo the fine spatial permutation (fills unused: cap == N)
+        cols_f = [c.reshape(B, R, Kf) for c in expand_channels(
+            tuple(f_mf[:, c] for c in range(4)),
+            (0.0, 0.0, 0.0, SIGMA_OUTSIDE), o_f, inv_f)]
+    else:
+        cols_f = [f_mf[:, c].reshape(B, R, Kf) for c in range(4)]
     K = Kc + Kf
     z_all = jnp.concatenate([z_coarse, z_fine], axis=-1)
     pay = jnp.stack(

@@ -466,6 +466,22 @@ class AnimNeRFSystem:
         pipeline (rows_renderable) and the compaction preconditions."""
         return self.compaction_applicable() and self.rows_renderable()
 
+    @staticmethod
+    def _morton_compact() -> bool:
+        """Morton-order the compacted survivors + kNN vertex-tile skip
+        (render/compact_rows.py `morton`). Exact either way; the spatial
+        order only pays on the real kernels, so default to TPU.
+        ANIMNERF_MORTON_COMPACT=0/1 overrides (tests force it on to cover
+        the Morton path in interpret mode)."""
+        import os
+
+        env = os.environ.get("ANIMNERF_MORTON_COMPACT", "")
+        if env in ("0", "1"):
+            return env == "1"
+        from animnerf_tpu.utils.platform import on_tpu
+
+        return on_tpu()
+
     def rows_compact_loss_fn(self, params: dict, batch: dict, key: jax.Array,
                              step: jax.Array, cap_c: int, global_offset=0):
         """Differentiated loss with the coarse pass compacted on the
@@ -498,12 +514,12 @@ class AnimNeRFSystem:
 
         results, n_c = render_rays_rows_compact(
             self.renderer_cfg,
-            lambda xyz_t: self.scene.warp_rows(ctx, xyz_t),
+            lambda xyz_t, **kw: self.scene.warp_rows(ctx, xyz_t, **kw),
             lambda rows, fine: self.scene.field_rows(
                 params["anim_nerf"], rows, fine),
             rays_root, cap_c,
             lambda rows: keep_rows_within_boxes(rows, box_verts, thr),
-            perturb=1.0, key=k_render)
+            perturb=1.0, key=k_render, morton=self._morton_compact())
         loss, details = self.compute_loss(
             params, results, batch["rgbs"], batch["alphas"], ctx, k_loss,
             fg_points=batch.get("fg_points"),

@@ -371,3 +371,39 @@ def test_rows_compact_bookkeeping_matches_dense_closures():
             np.testing.assert_allclose(np.asarray(dense[k]),
                                        np.asarray(over[k]),
                                        rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.slow
+def test_rows_compact_morton_matches_dense_rows(monkeypatch):
+    """The Morton-ordered compaction (survivors sorted spatially for the
+    kNN vertex-tile skip) must match the dense rows step like the
+    ray-ordered compaction does. Only float accumulation order (weight
+    grads summed over a permuted lane order) may differ — hence the
+    slightly looser grad tolerance than the bit-for-bit ray-order test."""
+    monkeypatch.setenv("ANIMNERF_MORTON_COMPACT", "1")
+    cfg, system, state, tx, batch = _setup()
+    key = jax.random.PRNGKey(7)
+    cap_c = _full_cap(cfg, batch["rays"].shape[1])
+
+    with rows_path_forced():
+        system.scene.__dict__["use_fused_mlp"] = True
+        _, d1 = system.loss_fn(state.params, batch,
+                               jax.random.fold_in(key, state.step))
+        _, d2 = system.rows_compact_loss_fn(state.params, batch, key,
+                                            state.step, cap_c=cap_c)
+
+        g1 = jax.grad(lambda p: system.loss_fn(
+            p, batch, jax.random.fold_in(key, state.step))[0])(state.params)
+        g2 = jax.grad(lambda p: system.rows_compact_loss_fn(
+            p, batch, key, state.step, cap_c=cap_c)[0])(state.params)
+    assert int(d2["compact_overflow"]) == 0
+    for k in d1:
+        np.testing.assert_allclose(np.asarray(d1[k]), np.asarray(d2[k]),
+                                   rtol=5e-6, err_msg=k)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+    for path, v1 in flat1:
+        v2 = flat2[path]
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))

@@ -97,3 +97,38 @@ def test_sort_permute_roundtrip_and_mixed_dtypes():
     back = sort_permute(perm, o, inv)
     np.testing.assert_array_equal(np.asarray(back[0]), np.asarray(vals[0]))
     np.testing.assert_array_equal(np.asarray(back[1]), np.asarray(extra))
+
+
+def test_morton_ranks_are_spatial_permutations():
+    """compaction_ranks with xyz_rows: still a full permutation with
+    survivors first and dropped in original order — but survivors ordered
+    by Morton code (spatially coherent lanes for the kNN tile skip).
+    compact/expand must stay exact inverses under that order."""
+    rng = np.random.default_rng(4)
+    keep, vals = _rig(seed=4)
+    xyz = tuple(jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+                for _ in range(3))
+    o, inv, n = compaction_ranks(keep, xyz_rows=xyz)
+    o_np, inv_np = np.asarray(o), np.asarray(inv)
+    from animnerf_tpu.ops.perm_sort import _morton_rows
+
+    m = np.asarray(_morton_rows(*xyz))
+    for b in range(B):
+        assert sorted(o_np[b]) == list(range(N))
+        assert (o_np[b][inv_np[b]] == np.arange(N)).all()
+        k = int(np.asarray(keep)[b].sum())
+        assert set(o_np[b][:k]) == set(np.nonzero(np.asarray(keep)[b])[0])
+        # survivors in ascending Morton order
+        mk = m[b][o_np[b][:k]]
+        assert (np.sort(mk) == mk).all()
+        # dropped tail in original index order
+        assert (np.sort(o_np[b][k:]) == o_np[b][k:]).all()
+    assert int(n) == int(np.asarray(keep).sum(1).max())
+
+    # roundtrip stays exact under the spatial permutation
+    comp = compact_channels(vals, o, inv, CAP)
+    dense = expand_channels(comp, (0.0, 0.0, 0.0), o, inv)
+    for d, v in zip(dense, vals):
+        kept = np.asarray(keep)
+        np.testing.assert_array_equal(np.asarray(d)[kept],
+                                      np.asarray(v)[kept])
