@@ -214,11 +214,13 @@ def test_render_stream_matches_render_frame(trained):
     W, H = cfg.img_wh
 
     r = Renderer(system)
-    Ps = [turntable_rotation(i, 5) for i in range(5)]
+    # 3 views: enough to exercise pipelined dispatch (view i+1 in flight
+    # while i drains) AND the observed-count capacity shrink across views
+    Ps = [turntable_rotation(i, 3) for i in range(3)]
     frames = [dict(body_params=body_params, body_tmpl=template, rays=rays,
                    P=P, img_wh=(W, H)) for P in Ps]
     streamed = list(r.render_stream(params, frames))
-    assert len(streamed) == 5
+    assert len(streamed) == 3
 
     r2 = Renderer(system)
     for (img_s, mask_s, depth_s), P in zip(streamed, Ps):

@@ -180,13 +180,13 @@ def test_train_steps_reduce_loss(synth_root):
 
     losses = []
     it = loader.epoch(0)
-    for i in range(8):
+    for i in range(5):
         batch = next(it)
         state, details = train_step(state, batch, key)
         losses.append(float(details["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
-    assert int(state.step) == 8
+    assert int(state.step) == 5
 
 
 def test_eval_step_shapes(synth_root):
